@@ -1,0 +1,115 @@
+"""Arrow-batched extraction kernel — the `mapInPandas` UDTF shape
+(SURVEY.md §2.9 #1).
+
+One row in → one row out with nested results; vectorized transport
+(Arrow), scalar byte-exact semantics (Python str ops, KERNEL_SPEC.md).
+The html column travels as BinaryType end-to-end so byte-identity is
+never at the mercy of UTF-8 normalization (SURVEY.md §7 hard part #1).
+
+Per-batch counters are accumulated locally and attached to each output
+batch (partition lineage goes through the audit path, plans/audit.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .model import parse_document
+from .tablepipe import page_tables
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+TABLE_TYPE = StructType([
+    StructField("page", IntegerType()),
+    StructField("table_index", IntegerType()),
+    StructField("method", StringType()),
+    StructField("cells", ArrayType(ArrayType(StringType()))),
+    StructField("csv_bytes", BinaryType()),
+    StructField("table_type", StringType()),
+    StructField("quality_score", DoubleType()),
+    StructField("rows", IntegerType()),
+    StructField("columns", IntegerType()),
+    StructField("numeric_percentage", DoubleType()),
+    StructField("empty_cell_percentage", DoubleType()),
+    StructField("metadata", MapType(StringType(), StringType())),
+    StructField("content_hash", StringType()),
+])
+
+SPAN_TYPE = StructType([
+    StructField("kind", StringType()),
+    StructField("page", IntegerType()),
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+])
+
+RESULT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("n_pages", IntegerType()),
+    StructField("extracted_text", BinaryType()),
+    StructField("tables", ArrayType(TABLE_TYPE)),
+    StructField("spans", ArrayType(SPAN_TYPE)),
+    StructField("n_tables", IntegerType()),
+    StructField("n_content_spans", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def extract_one(url: str, html: bytes) -> dict:
+    """Full per-document extraction (engine implementation)."""
+    m = parse_document(html if html is not None else b"")
+    tables: list[dict] = []
+    for page in sorted(m.tables):
+        slot = m.tables[page]
+        tables.extend(page_tables(page, slot["lattice"], slot["stream"]))
+    spans = [
+        {"kind": k, "page": p, "start": s, "end": e}
+        for (k, p, s, e) in m.spans
+    ]
+    n_content = sum(1 for s in m.spans if s[0] == "content")
+    return {
+        "url": url,
+        "n_pages": m.max_page,
+        "extracted_text": "\n\n".join(m.content).encode("utf-8"),
+        "tables": tables,
+        "spans": spans,
+        "n_tables": len(tables),
+        "n_content_spans": n_content,
+        "error": None,
+    }
+
+
+def extract_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """mapInPandas entry: (url, html[, ...]) batches → RESULT_SCHEMA."""
+    import pandas as pd
+
+    cols = [f.name for f in RESULT_SCHEMA.fields]
+    for pdf in batches:
+        out: dict[str, list] = {c: [] for c in cols}
+        for url, html in zip(pdf["url"].values, pdf["html"].values):
+            try:
+                row = extract_one(url, html)
+            except Exception as exc:  # never fail the task on one doc
+                row = {
+                    "url": url, "n_pages": 0, "extracted_text": b"",
+                    "tables": [], "spans": [], "n_tables": 0,
+                    "n_content_spans": 0,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+            for c in cols:
+                out[c].append(row[c])
+        yield pd.DataFrame(out, columns=cols)

@@ -1,0 +1,257 @@
+"""Engine-side single-pass HTML document model (KERNEL_SPEC.md §1-3).
+
+Unlike refkernel's two-phase (item tape → assembler) design, this
+parser accumulates spans, content text and raw table grids directly as
+tags close — one traversal per document, no intermediate item list.
+Output per document: (content_parts, spans, tables_by_page, n_pages).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .lexicon import BOILER_CLASS_TOKENS, BOILER_TAGS
+
+_WS = re.compile(r"\s+")
+_GAP = re.compile(r" {2,}")
+_NONWS = re.compile(r"\S")
+
+_SKIP = frozenset({"script", "style", "noscript", "template", "svg",
+                   "head"})
+_BLOCK = frozenset({"p", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+                    "blockquote", "figcaption", "dt", "dd"})
+_CONTAINER = frozenset({"div", "section", "article", "main", "body",
+                        "ul", "ol", "nav", "footer", "header", "aside",
+                        "figure"})
+
+
+def _norm(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def pre_rows(raw: str) -> list[list[str]] | None:
+    lines = [ln for ln in raw.split("\n") if ln.strip()]
+    if len(lines) < 2:
+        return None
+    rows = [_GAP.split(ln.strip()) for ln in lines]
+    wide = sum(1 for r in rows if len(r) >= 2)
+    return rows if wide >= 2 and wide / len(lines) >= 0.5 else None
+
+
+class DocModel(HTMLParser):
+    """Single-pass extractor state machine."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.spans: list[tuple[str, int, int, int]] = []
+        self.content: list[str] = []
+        # page → {"lattice": [...grids], "stream": [...grids]}
+        self.tables: dict[int, dict[str, list]] = {}
+        self.max_page = 0
+        self._cursor: dict[int, int] = {}
+        self._stack: list[tuple[str, bool, int]] = []
+        self._page = 1
+        self._skip = 0
+        self._links = 0
+        # open block: [page, boiler, parts, link_chars, total_chars]
+        self._blk: list | None = None
+        # open tables: [page, method, rows, row|None, cell|None]
+        self._tbl: list[list] = []
+        self._pre: list | None = None  # [page, boiler, parts, depth]
+
+    # -- emission -------------------------------------------------------
+    def _span(self, kind: str, page: int, text: str):
+        start = self._cursor.get(page, 0)
+        self.spans.append((kind, page, start, start + len(text)))
+        self._cursor[page] = start + len(text) + 1
+        if page > self.max_page:
+            self.max_page = page
+
+    def _emit_block(self, page: int, boiler: bool, raw: str,
+                    link_chars: int, total_chars: int):
+        text = _norm(raw)
+        if not text:
+            return
+        if boiler:
+            kind = "boilerplate"
+        else:
+            d = link_chars / total_chars if total_chars > 0 else 0.0
+            kind = ("boilerplate" if d > 0.5
+                    or (len(text) < 25 and d > 0.2) else "content")
+        self._span(kind, page, text)
+        if kind == "content":
+            self.content.append(text)
+
+    def _flush_blk(self):
+        b, self._blk = self._blk, None
+        if b is not None:
+            self._emit_block(b[0], b[1], "".join(b[2]), b[3], b[4])
+
+    def _emit_table(self, page: int, method: str, rows: list[list[str]]):
+        for row in rows:
+            for cell in row:
+                t = _norm(cell)
+                if t:
+                    self._span("table_cell", page, t)
+        slot = self.tables.setdefault(page, {"lattice": [], "stream": []})
+        slot[method].append(rows)
+        if page > self.max_page:
+            self.max_page = page
+
+    def _close_cell(self, t):
+        if t[4] is not None and t[3] is not None:
+            t[3].append("".join(t[4]))
+        t[4] = None
+
+    def _close_row(self, t):
+        self._close_cell(t)
+        if t[3] is not None:
+            t[2].append(t[3])
+        t[3] = None
+
+    def _close_table(self):
+        t = self._tbl.pop()
+        self._close_row(t)
+        self._emit_table(t[0], t[1], t[2])
+
+    def _finish_pre(self):
+        page, boiler, parts, _ = self._pre
+        self._pre = None
+        raw = "".join(parts)
+        rows = pre_rows(raw)
+        if rows is not None:
+            self._emit_table(page, "stream", rows)
+        else:
+            self._emit_block(page, boiler, raw, 0,
+                             len(_NONWS.findall(raw)))
+
+    # -- events ----------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        boiler_parent = self._stack[-1][1] if self._stack else False
+        if tag in _SKIP:
+            self._skip += 1
+            self._stack.append((tag, boiler_parent, self._page))
+            return
+        attrd = dict(attrs)
+        cls = (attrd.get("class") or "").lower()
+        boiler = boiler_parent or tag in BOILER_TAGS or any(
+            tok in cls for tok in BOILER_CLASS_TOKENS)
+        page_before = self._page
+        if tag == "section":
+            dp = attrd.get("data-page")
+            if dp is not None:
+                try:
+                    self._page = int(dp)
+                except ValueError:
+                    pass
+        if self._pre is not None:
+            if tag == "pre":
+                self._pre[3] += 1
+            self._stack.append((tag, boiler, page_before))
+            return
+        if tag == "table":
+            self._flush_blk()
+            border = attrd.get("border")
+            method = ("lattice" if border not in (None, "", "0")
+                      else "stream")
+            self._tbl.append([self._page, method, [], None, None])
+        elif self._tbl:
+            t = self._tbl[-1]
+            if tag == "tr":
+                self._close_row(t)
+                t[3] = []
+            elif tag in ("td", "th"):
+                self._close_cell(t)
+                if t[3] is None:
+                    t[3] = []
+                t[4] = []
+        elif tag == "pre":
+            self._flush_blk()
+            self._pre = [self._page, boiler, [], 1]
+        elif tag in _BLOCK:
+            self._flush_blk()
+            self._blk = [self._page, boiler, [], 0, 0]
+        elif tag == "a":
+            self._links += 1
+        elif tag in _CONTAINER:
+            self._flush_blk()
+        self._stack.append((tag, boiler, page_before))
+
+    def handle_endtag(self, tag):
+        idx = None
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                idx = i
+                break
+        if idx is None:
+            return
+        page_before = self._stack[idx][2]
+        del self._stack[idx:]
+        if tag in _SKIP:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._pre is not None:
+            if tag == "pre":
+                self._pre[3] -= 1
+                if self._pre[3] == 0:
+                    self._finish_pre()
+            return
+        if tag == "table":
+            if self._tbl:
+                self._close_table()
+        elif self._tbl:
+            t = self._tbl[-1]
+            if tag == "tr":
+                self._close_row(t)
+            elif tag in ("td", "th"):
+                self._close_cell(t)
+        elif tag in _BLOCK:
+            self._flush_blk()
+        elif tag == "a":
+            self._links = max(0, self._links - 1)
+        elif tag in _CONTAINER:
+            self._flush_blk()
+        if tag == "section":
+            self._page = page_before
+
+    def handle_data(self, data):
+        if self._skip or not data:
+            return
+        if self._pre is not None:
+            self._pre[2].append(data)
+            return
+        if self._tbl:
+            t = self._tbl[-1]
+            if t[4] is not None:
+                t[4].append(data)
+            return
+        if self._blk is None:
+            if not data.strip():
+                return
+            boiler = self._stack[-1][1] if self._stack else False
+            self._blk = [self._page, boiler, [], 0, 0]
+        self._blk[2].append(data)
+        n = len(_NONWS.findall(data))
+        self._blk[4] += n
+        if self._links:
+            self._blk[3] += n
+
+    def finish(self):
+        while self._tbl:
+            self._close_table()
+        if self._pre is not None:
+            self._finish_pre()
+        self._flush_blk()
+
+
+def parse_document(html: bytes) -> DocModel:
+    try:
+        text = html.decode("utf-8")
+    except UnicodeDecodeError:
+        text = html.decode("latin-1")
+    m = DocModel()
+    m.feed(text)
+    m.close()
+    m.finish()
+    return m

@@ -1,0 +1,271 @@
+"""Engine-side table pipeline: clean → validate → score → classify →
+dedup → emit (KERNEL_SPEC.md §4).
+
+Independent, batch-optimized implementation of the same spec as
+refkernel (precompiled regexes, fused single-pass metrics). Byte-parity
+with refkernel is enforced by tests/test_engine_kernel.py and the
+golden suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import re
+
+from .lexicon import (
+    CLASS_ORDER,
+    CURRENCY_MAP,
+    EXTRACTORS,
+    KEYWORDS,
+    PATTERNS,
+    TICKER_EXCLUDE,
+    UNIT_PATTERNS,
+)
+
+_WS = re.compile(r"\s+")
+_NUMERIC = re.compile(r"^-?\d+\.?\d*$")
+_PATTERNS_C = {t: [re.compile(p) for p in ps] for t, ps in PATTERNS.items()}
+_UNITS_C = [(p, re.compile(r"\b" + p + r"\b", re.I)) for p in UNIT_PATTERNS]
+_TICKER = re.compile(r"\b[A-Z]{1,5}\b(?:\.[A-Z]{2})?")
+_FISCAL = [
+    re.compile(r"(Q[1-4])\s*(\d{4}|\d{2})"),
+    re.compile(r"(FY|fiscal year)\s*(\d{4}|\d{2})", re.I),
+    re.compile(r"(\d{1,2}/\d{1,2}/\d{2,4})\s*-\s*(\d{1,2}/\d{1,2}/\d{2,4})"),
+]
+_PVAL = re.compile(r"p\s*[<=]\s*0\.\d+")
+_ERRBAR = re.compile(_PATTERNS_C["scientific_data"][0].pattern)
+_CI = re.compile(r"(CI|confidence\s*interval)", re.I)
+
+_WEIGHTS = (0.3, 0.2, 0.2, 0.2, 0.1)
+
+
+def clean_grid(raw: list[list]) -> list[list[str]]:
+    out = []
+    for row in raw:
+        crow = []
+        keep = False
+        for cell in row:
+            if cell is None:
+                crow.append("")
+                continue
+            s = _WS.sub(" ", str(cell).strip())
+            if not s.isprintable():
+                s = "".join(ch for ch in s if ch.isprintable())
+            s = s.replace("\n", " ").replace("\r", " ")
+            crow.append(s)
+            if s:
+                keep = True
+        if keep:
+            out.append(crow)
+    return out
+
+
+def _mode(counts: list[int]) -> int:
+    return max(sorted(set(counts)), key=counts.count)
+
+
+def grid_is_valid(raw: list[list]) -> bool:
+    n = len(raw)
+    if n < 2:
+        return False
+    total = non_empty = 0
+    counts = []
+    for row in raw:
+        counts.append(len(row))
+        total += len(row)
+        for cell in row:
+            if cell and str(cell).strip():
+                non_empty += 1
+    if total == 0 or non_empty / total < 0.2:
+        return False
+    m = _mode(counts)
+    return sum(1 for c in counts if c == m) / n >= 0.5
+
+
+def score_quality(grid: list[list[str]]) -> float:
+    n = len(grid)
+    if n < 2:
+        return 0.0
+    counts = [len(r) for r in grid]
+    total = sum(counts)
+    non_empty = sum(1 for r in grid for c in r if c)
+    completeness = non_empty / total if total else 0
+
+    m = _mode(counts)
+    consistency = sum(1 for c in counts if c == m) / n
+
+    first = grid[0]
+    cols0 = len(first)
+    header_hits = sum(1 for c in first if c and not _NUMERIC.match(c.strip()))
+    header_score = header_hits / cols0 if first else 0
+    if n < 2 or cols0 < 2:
+        dim = 0.3
+    elif n > 1000 or cols0 > 50:
+        dim = 0.7
+    else:
+        dim = 1.0
+    structure = (header_score + dim) / 2
+
+    num_cols = max(counts)
+    consistent_cols = 0
+    for ci in range(num_cols):
+        seen = numeric = 0
+        for r in grid[1:]:
+            if ci < len(r) and r[ci]:
+                seen += 1
+                if _NUMERIC.match(r[ci].strip()):
+                    numeric += 1
+        if seen and (numeric > seen * 0.8 or numeric < seen * 0.2):
+            consistent_cols += 1
+    data_types = consistent_cols / num_cols if num_cols else 0
+
+    if 2 <= n <= 500 and 2 <= cols0 <= 30:
+        size = 1.0
+    elif n < 2 or cols0 < 2:
+        size = 0.1
+    elif n > 1000 or cols0 > 50:
+        size = 0.6
+    else:
+        size = 0.8
+
+    vals = (completeness, consistency, structure, data_types, size)
+    return sum(v * w for v, w in zip(vals, _WEIGHTS))
+
+
+def classify_grid(grid: list[list[str]]) -> tuple[str, dict[str, str]]:
+    joined = " ".join(c for r in grid for c in r if c)
+    lowered = joined.lower()
+    headers = (" ".join(c for c in grid[0] if c).lower() if grid else "")
+
+    best_type, best_score = None, -1
+    for ttype in CLASS_ORDER:
+        score = 0
+        for kw in KEYWORDS[ttype]:
+            if kw in lowered:
+                score += 2
+            if kw in headers:
+                score += 3
+        for rx in _PATTERNS_C[ttype]:
+            score += 2 * len(rx.findall(lowered))
+        if score > best_score:
+            best_type, best_score = ttype, score
+    if best_score == 0:
+        best_type = "general_data"
+
+    md: dict[str, str] = {"table_classification": best_type}
+    extract = EXTRACTORS.get(best_type, ())
+    if "currency" in extract:
+        code = ""
+        for sym, c in CURRENCY_MAP:
+            if sym in joined:
+                code = c
+                break
+        md["currency"] = code
+    if "units" in extract:
+        md["units"] = json.dumps(
+            [p for p, rx in _UNITS_C if rx.search(joined)])
+    if "statistical_measures" in extract:
+        rep = str(grid)
+        md["has_p_values"] = "true" if _PVAL.search(rep) else "false"
+        md["has_error_bars"] = "true" if _ERRBAR.search(rep) else "false"
+        md["has_confidence_intervals"] = (
+            "true" if _CI.search(rep) else "false")
+    if "fiscal_period" in extract:
+        period = ""
+        for rx in _FISCAL:
+            m = rx.search(joined)
+            if m:
+                period = m.group(0)
+                break
+        md["fiscal_period"] = period
+    if "ticker_symbols" in extract:
+        out, seen = [], set()
+        for t in _TICKER.findall(joined):
+            if t not in TICKER_EXCLUDE and t not in seen:
+                seen.add(t)
+                out.append(t)
+                if len(out) == 10:
+                    break
+        md["tickers"] = json.dumps(out)
+    return best_type, md
+
+
+def grid_hash(grid: list[list[str]]) -> str:
+    return hashlib.md5(
+        json.dumps(grid, sort_keys=True).encode()).hexdigest()
+
+
+_CSV_SPECIAL = (",", '"', "\n", "\r")
+
+
+def _csv(rows: list[list[str]]) -> bytes:
+    parts = []
+    for row in rows:
+        fields = []
+        for c in row:
+            if any(ch in c for ch in _CSV_SPECIAL):
+                fields.append('"' + c.replace('"', '""') + '"')
+            else:
+                fields.append(c)
+        parts.append(",".join(fields))
+    return ("\n".join(parts) + "\n").encode("utf-8")
+
+
+def _is_numeric_cell(s: str) -> bool:
+    s = s.strip()
+    if not s or "_" in s:
+        return False
+    try:
+        return not math.isnan(float(s))
+    except ValueError:
+        return False
+
+
+def page_tables(page: int, lattice: list, stream: list) -> list[dict]:
+    """Run the full per-page pipeline over raw grids in method order."""
+    candidates = []
+    idx = 0
+    for method, grids in (("lattice", lattice), ("stream", stream)):
+        for raw in grids:
+            if not grid_is_valid(raw):
+                continue
+            grid = clean_grid(raw)
+            idx += 1
+            candidates.append((idx, method, grid))
+
+    out = []
+    seen: set[str] = set()
+    for idx, method, grid in candidates:
+        h = grid_hash(grid)
+        if h in seen:
+            continue
+        seen.add(h)
+        if not grid:
+            continue
+        qscore = score_quality(grid)
+        ttype, md = classify_grid(grid)
+        max_cols = max(len(r) for r in grid)
+        padded = [r + [""] * (max_cols - len(r)) for r in grid]
+        body = padded[1:]
+        csvb = _csv(padded)
+        n_body = len(body) * max_cols
+        numeric = sum(1 for r in body for c in r if _is_numeric_cell(c))
+        empty = sum(1 for r in body for c in r if c == "")
+        out.append({
+            "page": page,
+            "table_index": idx,
+            "method": method,
+            "cells": padded,
+            "csv_bytes": csvb,
+            "table_type": ttype,
+            "quality_score": qscore,
+            "rows": len(body),
+            "columns": max_cols,
+            "numeric_percentage": numeric / n_body if n_body else 0.0,
+            "empty_cell_percentage": empty / n_body if n_body else 0.0,
+            "metadata": md,
+            "content_hash": h,
+        })
+    return out

@@ -1,0 +1,189 @@
+"""The extraction plan: pages → kernel → results (+ audit, + resume).
+
+Replaces the reference's HTTP→subprocess→threadpool→filesystem pipeline
+(SURVEY.md §3.1) with ONE DataFrame plan:
+
+    read pages → [resume anti-join J4] → mapInPandas(extract_kernel)
+    → results (+ per-partition lineage via groupBy over kernel counters)
+
+Scale notes (SURVEY.md §4, 100 TB design):
+
+- **No pre-kernel shuffle by default.** The Parquet/Iceberg scan already
+  partitions by bytes (`spark.sql.files.maxPartitionBytes`), which is
+  the correct balancing unit for a size-skewed corpus — shuffling the
+  html payload to "balance" it would move the full 100 TB through the
+  network first. `salt_partitions` exists for pathological layouts
+  (e.g. one giant sorted file): it hash-salts on url, which spreads
+  mega-documents uniformly at the cost of one shuffle.
+- **Column pruning is load-bearing**: the kernel selects only
+  (url, html); metrics-only consumers must never deserialize html —
+  verified in tests via the scan's ReadSchema.
+- The kernel is a UDTF-shaped mapInPandas (1 row in → 1 row out with
+  nested arrays); Arrow batch size is bounded by
+  `spark.sql.execution.arrow.maxRecordsPerBatch` so a batch of
+  multi-KB html payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..kernel.batch import RESULT_SCHEMA, extract_one
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+KERNEL_SCHEMA = StructType(
+    RESULT_SCHEMA.fields
+    + [
+        StructField("partition_id", LongType()),
+        StructField("bytes_in", LongType()),
+        StructField("kernel_us", LongType()),
+    ]
+)
+
+_RESULT_COLS = [f.name for f in RESULT_SCHEMA.fields]
+
+
+def _kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        rows: dict[str, list] = {c: [] for c in _RESULT_COLS}
+        rows["partition_id"] = []
+        rows["bytes_in"] = []
+        rows["kernel_us"] = []
+        for url, html in zip(pdf["url"].values, pdf["html"].values):
+            t0 = time.perf_counter_ns()
+            try:
+                res = extract_one(url, html)
+            except Exception as exc:  # one bad doc never kills the task
+                res = {
+                    "url": url, "n_pages": 0, "extracted_text": b"",
+                    "tables": [], "spans": [], "n_tables": 0,
+                    "n_content_spans": 0,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+            for c in _RESULT_COLS:
+                rows[c].append(res[c])
+            rows["partition_id"].append(pid)
+            rows["bytes_in"].append(len(html) if html is not None else 0)
+            rows["kernel_us"].append(
+                (time.perf_counter_ns() - t0) // 1000)
+        yield pd.DataFrame(rows)
+
+
+def load_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table (Parquet here; Iceberg when a runtime jar
+    is on the cluster — the plan is identical, SURVEY.md §1.2)."""
+    return spark.read.parquet(path)
+
+
+def resume_filter(pages: DataFrame, committed_urls: DataFrame) -> DataFrame:
+    """J4 — skip already-committed urls (idempotent resume). The
+    committed set is tiny relative to 10^12 pages only per-run; at
+    scale prefer partition-pruned snapshots; here: broadcast-able
+    left anti join."""
+    return pages.join(
+        F.broadcast(committed_urls.select("url")), "url", "left_anti"
+    )
+
+
+def run_extraction(
+    pages: DataFrame,
+    *,
+    salt_partitions: int | None = None,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """pages(url, html, ...) → extraction results (one row per url)."""
+    src = pages.select("url", "html")
+    if salt_partitions:
+        # explicit skew defusal for pathological input layouts
+        src = src.repartition(salt_partitions, F.xxhash64("url"))
+    out = src.mapInPandas(_kernel, schema=KERNEL_SCHEMA)
+    if not with_lineage:
+        out = out.drop("partition_id", "bytes_in", "kernel_us")
+    return out
+
+
+def tables_view(results: DataFrame) -> DataFrame:
+    """Explode nested tables to a flat relational view (W1/D1 already
+    applied in-kernel — zero extra shuffles, SURVEY.md §3.1)."""
+    t = results.select(
+        "url", "n_pages", F.explode("tables").alias("t")
+    )
+    return t.select("url", "n_pages", "t.*")
+
+
+def audit_metrics(results: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage + counters (north_rule requirement):
+    (run_id, partition_id, input_rows, output_rows, n_tables,
+    bytes_in, kernel_ms, errors)."""
+    return (
+        results.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("input_rows"),
+            F.count(F.when(F.col("error").isNull(), 1)).alias(
+                "output_rows"),
+            F.sum("n_tables").alias("n_tables"),
+            F.sum("bytes_in").alias("bytes_in"),
+            (F.sum("kernel_us") / 1000.0).alias("kernel_ms"),
+            F.count(F.col("error")).alias("errors"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
+def run_stats(results: DataFrame) -> DataFrame:
+    """Run-level statistics (A1-A5, A11 as one hash-agg pass)."""
+    t = tables_view(results)
+    by_method = t.groupBy("method").count()
+    by_type = t.groupBy("table_type").count()
+    quality_hist = t.groupBy(
+        F.when(F.col("quality_score") >= 0.7, "high")
+        .when(F.col("quality_score") >= 0.4, "medium")
+        .otherwise("low")
+        .alias("bucket")
+    ).count()
+    totals = results.agg(
+        F.count("*").alias("documents"),
+        F.sum("n_pages").alias("total_pages"),
+        F.sum("n_tables").alias("total_tables"),
+        F.count(F.when(F.col("n_tables") > 0, 1)).alias(
+            "docs_with_tables"),
+        F.sum(F.length("extracted_text")).alias("extracted_bytes"),
+    )
+    return totals.crossJoin(
+        F.broadcast(
+            by_method.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("method", "count"))
+                ).alias("by_method")
+            )
+        )
+    ).crossJoin(
+        F.broadcast(
+            by_type.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("table_type", "count"))
+                ).alias("by_type")
+            )
+        )
+    ).crossJoin(
+        F.broadcast(
+            quality_hist.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "count"))
+                ).alias("quality_distribution")
+            )
+        )
+    )

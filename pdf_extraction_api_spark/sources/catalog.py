@@ -1,0 +1,99 @@
+"""Snapshot-manifest table commits — Iceberg semantics without the jar.
+
+No Iceberg runtime is available in this sandbox (verified, SURVEY.md
+§7), so this module provides the minimal seam the north_rule needs:
+atomic snapshot commit + resume from the last committed snapshot.
+Swap `SnapshotCatalog` for real Iceberg `df.writeTo(...).append()` +
+snapshot reads when the jar exists — the call sites don't change.
+
+Layout per table directory:
+
+    <root>/<table>/data/<run_id>/part-*.parquet   (written first)
+    <root>/<table>/manifest-<seq>-<run_id>.json   (atomic rename last)
+
+A snapshot is visible iff its manifest exists; manifests are written to
+a temp name and `os.replace`d (atomic on POSIX). Readers take the
+manifest with the highest sequence number and read exactly the files it
+lists. A killed run leaves data files but no manifest → invisible →
+idempotent re-run (exactly-once per url together with the J4 resume
+anti-join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = Path(root)
+
+    def _tdir(self, table: str) -> Path:
+        return self.root / table
+
+    def _manifests(self, table: str) -> list[Path]:
+        tdir = self._tdir(table)
+        if not tdir.exists():
+            return []
+        return sorted(tdir.glob("manifest-*.json"))
+
+    def last_snapshot(self, table: str) -> dict | None:
+        ms = self._manifests(table)
+        if not ms:
+            return None
+        return json.loads(ms[-1].read_text())
+
+    def committed_run_ids(self, table: str) -> list[str]:
+        return [
+            json.loads(m.read_text())["run_id"]
+            for m in self._manifests(table)
+        ]
+
+    def append(self, df: DataFrame, table: str, run_id: str) -> dict:
+        """Write data files, then commit atomically via manifest rename."""
+        tdir = self._tdir(table)
+        data_dir = tdir / "data" / run_id
+        df.write.mode("overwrite").parquet(str(data_dir))
+        files = sorted(
+            str(p.relative_to(tdir))
+            for p in data_dir.glob("*.parquet")
+        )
+        prev = self.last_snapshot(table)
+        seq = (prev["sequence"] + 1) if prev else 1
+        manifest = {
+            "sequence": seq,
+            "run_id": run_id,
+            "files": files,
+            "parent": prev["run_id"] if prev else None,
+            "committed_at_unix": int(time.time()),
+        }
+        tmp = tdir / f".manifest-{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        final = tdir / f"manifest-{seq:09d}-{run_id}.json"
+        os.replace(tmp, final)  # atomic commit point
+        return manifest
+
+    def read(self, spark: SparkSession, table: str,
+             *, all_snapshots: bool = True) -> DataFrame | None:
+        """Read the union of all committed snapshots' files (append-only
+        table semantics). Uncommitted data files are never read."""
+        tdir = self._tdir(table)
+        paths: list[str] = []
+        seen: set[str] = set()
+        for m in self._manifests(table):
+            info = json.loads(m.read_text())
+            for f in info["files"]:
+                if f not in seen:
+                    seen.add(f)
+                    paths.append(str(tdir / f))
+            if not all_snapshots:
+                paths = [str(tdir / f) for f in info["files"]]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)

@@ -1,0 +1,80 @@
+"""Engine kernel ⇔ refkernel equivalence (no Spark needed).
+
+The two implementations were written independently against
+KERNEL_SPEC.md; this suite byte-compares them over a generated corpus
+and asserts the shared classification lexicon is identical data.
+"""
+
+from __future__ import annotations
+
+from fixtures.gen_pages import gen_rows
+from pdf_extraction_api_spark.kernel import lexicon
+from pdf_extraction_api_spark.kernel.batch import extract_one
+from refkernel import classify as ref_classify
+from refkernel.extract import extract_document
+
+
+def test_lexicon_matches_refkernel():
+    assert tuple(ref_classify.CLASS_ORDER) == lexicon.CLASS_ORDER
+    for t in lexicon.CLASS_ORDER:
+        cfg = ref_classify.CLASSIFICATIONS[t]
+        assert tuple(cfg["keywords"]) == lexicon.KEYWORDS[t]
+        assert tuple(cfg["patterns"]) == lexicon.PATTERNS[t]
+        assert tuple(cfg["extract"]) == lexicon.EXTRACTORS[t]
+    assert tuple(ref_classify.CURRENCY_MAP) == lexicon.CURRENCY_MAP
+    assert tuple(ref_classify.UNIT_PATTERNS) == lexicon.UNIT_PATTERNS
+    assert ref_classify.TICKER_EXCLUDE == set(lexicon.TICKER_EXCLUDE)
+
+
+def _normalize_ref(res: dict) -> dict:
+    return {
+        "url": res["url"],
+        "n_pages": res["n_pages"],
+        "extracted_text": res["extracted_text"],
+        "tables": res["tables"],
+        "spans": res["spans"],
+    }
+
+
+def _normalize_eng(res: dict) -> dict:
+    return {k: res[k] for k in
+            ("url", "n_pages", "extracted_text", "tables", "spans")}
+
+
+def test_engine_matches_refkernel_byte_for_byte():
+    rows = gen_rows(400, seed=42)
+    for r in rows:
+        ref = _normalize_ref(extract_document(r["url"], r["html"]))
+        eng = _normalize_eng(extract_one(r["url"], r["html"]))
+        assert eng == ref, r["url"]
+
+
+def test_engine_matches_refkernel_alt_seed():
+    rows = gen_rows(150, seed=7)
+    for r in rows:
+        ref = _normalize_ref(extract_document(r["url"], r["html"]))
+        eng = _normalize_eng(extract_one(r["url"], r["html"]))
+        assert eng == ref, r["url"]
+
+
+def test_engine_counters():
+    res = extract_one(
+        "u",
+        b"<body><p>Long enough content paragraph for the counter.</p>"
+        b'<table border="1"><tr><th>a</th><th>b</th></tr>'
+        b"<tr><td>1</td><td>2</td></tr></table></body>")
+    assert res["n_tables"] == 1
+    assert res["n_content_spans"] == 1
+    assert res["error"] is None
+
+
+def test_engine_error_isolation():
+    import pandas as pd
+
+    from pdf_extraction_api_spark.kernel.batch import extract_batches
+
+    pdf = pd.DataFrame({"url": ["a", "b"],
+                        "html": [None, b"<p>fine text long enough.</p>"]})
+    out = pd.concat(list(extract_batches(iter([pdf]))))
+    assert list(out["url"]) == ["a", "b"]
+    assert out["error"].isna().all() or (out["error"] == None).all()  # noqa: E711

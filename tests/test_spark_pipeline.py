@@ -1,0 +1,166 @@
+"""Spark pipeline ⇔ golden fixtures: per-url byte-equality (the
+north_star invariant), plan-shape checks, lineage, resume, determinism
+across parallelism levels."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+GOLDEN = "tests/golden/golden_tiny.parquet"
+PAGES = "tests/golden/pages_tiny.parquet"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(GOLDEN) and os.path.exists(PAGES)),
+    reason="golden fixtures not generated (python -m tests.make_golden)",
+)
+
+
+def _norm_table(t: dict) -> tuple:
+    return (
+        t["page"], t["table_index"], t["method"],
+        tuple(tuple(r) for r in t["cells"]),
+        bytes(t["csv_bytes"]), t["table_type"],
+        round(t["quality_score"], 12), t["rows"], t["columns"],
+        round(t["numeric_percentage"], 12),
+        round(t["empty_cell_percentage"], 12),
+        tuple(sorted(dict(t["metadata"]).items())),
+        t["content_hash"],
+    )
+
+
+def _norm_row(row) -> tuple:
+    d = row.asDict(recursive=True)
+    return (
+        d["n_pages"],
+        bytes(d["extracted_text"]),
+        tuple(_norm_table(t) for t in d["tables"]),
+        tuple((s["kind"], s["page"], s["start"], s["end"])
+              for s in d["spans"]),
+    )
+
+
+def _collect_results(spark, pages_path, **kw) -> dict:
+    from pdf_extraction_api_spark.plans.extract import (
+        load_pages,
+        run_extraction,
+    )
+
+    results = run_extraction(load_pages(spark, pages_path), **kw)
+    return {r["url"]: _norm_row(r) for r in results.collect()}
+
+
+@pytest.fixture(scope="module")
+def golden_map(spark):
+    rows = spark.read.parquet(GOLDEN).collect()
+    return {r["url"]: _norm_row(r) for r in rows}
+
+
+def test_byte_equality_vs_golden(spark, golden_map):
+    got = _collect_results(spark, PAGES)
+    assert set(got) == set(golden_map)
+    mismatches = [u for u in golden_map if got[u] != golden_map[u]]
+    assert mismatches == [], mismatches[:3]
+
+
+def test_determinism_across_parallelism(spark, golden_map):
+    """Quirk #8 fix: same bytes regardless of partitioning (the
+    in-sandbox proxy for N vs 4N executors)."""
+    low = _collect_results(spark, PAGES, salt_partitions=2)
+    high = _collect_results(spark, PAGES, salt_partitions=32)
+    assert low == high == golden_map
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Metrics-only consumers must not deserialize html (SURVEY.md §4):
+    the kernel input scan must read only url+html; a count over results
+    metadata keeps the nested work but the *pages* scan schema is what
+    we assert on."""
+    from pdf_extraction_api_spark.plans.extract import (
+        load_pages,
+        run_extraction,
+    )
+
+    pages = load_pages(spark, PAGES)
+    plan = run_extraction(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "warc_ts" not in plan  # pruned
+    assert "ReadSchema" in plan
+    # the scan reads exactly url + html
+    read_schema = [ln for ln in plan.split("\n") if "ReadSchema" in ln][0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "lang" not in read_schema and "text" not in read_schema
+
+
+def test_lineage_audit(spark, tmp_path):
+    from pdf_extraction_api_spark.plans.extract import (
+        audit_metrics,
+        load_pages,
+        run_extraction,
+    )
+
+    results = run_extraction(load_pages(spark, PAGES))
+    audit = audit_metrics(results, run_id="testrun").collect()
+    assert sum(r["input_rows"] for r in audit) == 200
+    assert all(r["run_id"] == "testrun" for r in audit)
+    assert sum(r["errors"] for r in audit) == 0
+    assert sum(r["bytes_in"] for r in audit) > 0
+
+
+def test_snapshot_catalog_resume(spark, tmp_path):
+    """Exactly-once per url: partial uncommitted data is invisible;
+    re-run processes only the remainder (J4 anti-join)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_api_spark.plans.extract import (
+        load_pages,
+        resume_filter,
+        run_extraction,
+    )
+    from pdf_extraction_api_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "warehouse"))
+    pages = load_pages(spark, PAGES)
+
+    # run 1: first 120 urls, committed
+    first = pages.filter(F.col("url") < "https://site5")
+    r1 = run_extraction(first).drop("tables", "spans")
+    cat.append(r1, "results", run_id="run1")
+
+    # simulate a crashed run: data written but no manifest
+    crash_dir = tmp_path / "warehouse" / "results" / "data" / "crashed"
+    run_extraction(first.limit(5)).drop("tables", "spans").write.mode(
+        "overwrite").parquet(str(crash_dir))
+
+    committed = cat.read(spark, "results")
+    n1 = committed.count()
+    assert n1 == first.count()  # crashed files invisible
+
+    # run 2: resume — only the remainder is processed
+    todo = resume_filter(pages, committed)
+    assert todo.count() == 200 - n1
+    r2 = run_extraction(todo).drop("tables", "spans")
+    cat.append(r2, "results", run_id="run2")
+
+    final = cat.read(spark, "results")
+    assert final.count() == 200
+    assert final.select("url").distinct().count() == 200  # exactly once
+
+
+def test_tables_view_and_stats(spark):
+    from pdf_extraction_api_spark.plans.extract import (
+        load_pages,
+        run_extraction,
+        run_stats,
+        tables_view,
+    )
+
+    results = run_extraction(load_pages(spark, PAGES))
+    tv = tables_view(results)
+    assert tv.count() == 349  # matches refkernel golden count
+    stats = run_stats(results).collect()[0]
+    assert stats["documents"] == 200
+    assert stats["total_tables"] == 349
+    assert set(stats["by_method"]) <= {"lattice", "stream"}
+    assert sum(stats["quality_distribution"].values()) == 349
