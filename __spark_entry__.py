@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: run the extraction kernel over pages
+                    synthesized from sf0.001 documents, roll up per lang.
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    training-data ops), callable (spark, sf_dir) → DF.
+oracle_sql()      — DuckDB-equivalent SQL per query (omitted only for
+                    genuinely non-SQL-expressible kernel/multimodal ops).
 """
 
 from __future__ import annotations
@@ -15,24 +16,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-lang document count + extracted-table volume from
+    the extraction kernel over /root/testdata/sf0.001."""
+    from pdf_extraction_api_spark.operators.kernelq import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple]:
+    from pdf_extraction_api_spark.operators.kernelq import (
+        QUERIES as KERNEL_QUERIES,
+    )
+    from pdf_extraction_api_spark.operators.multimodal import (
+        QUERIES as MM_QUERIES,
+    )
+    from pdf_extraction_api_spark.operators.relational import (
+        QUERIES as REL_QUERIES,
+    )
+    from pdf_extraction_api_spark.operators.textops import (
+        QUERIES as TEXT_QUERIES,
+    )
+    from pdf_extraction_api_spark.operators.vectorops import (
+        QUERIES as VEC_QUERIES,
+    )
+    from pdf_extraction_api_spark.functions.scalar import (
+        QUERIES as SCALAR_QUERIES,
+    )
+
+    out: dict[str, tuple] = {}
+    for group in (REL_QUERIES, SCALAR_QUERIES, TEXT_QUERIES, VEC_QUERIES,
+                  MM_QUERIES, KERNEL_QUERIES):
+        out.update(group)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql
+        for name, (_fn, sql) in _registry().items()
+        if sql is not None
+    }

@@ -1,0 +1,169 @@
+"""Extraction-kernel queries with DuckDB oracles.
+
+The kernel itself is not SQL (Python byte-exact semantics inside
+mapInPandas) — but on *constructively known* HTML its output is fully
+predictable, so we wrap `documents` rows into a fixed HTML shell
+(boilerplate nav + content paragraph + a 2-column ruled table) and let
+the oracle reconstruct every kernel output — extracted text, span
+geometry, CSV bytes, even the md5 content hash — with pure SQL string
+ops. This pins the whole Spark path (scan → Arrow → kernel → nested
+results → collect) against an independent engine, not just against
+refkernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.extract import run_extraction
+from .relational import T
+
+
+def pages_from_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → pages(url, html BINARY) with a fixed HTML shell."""
+    d = T(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<body><nav><a href="/">Home</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><table border="1"><tr><th>metric</th><th>value</th>'
+              "</tr><tr><td>chars</td><td>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr><tr><td>lang</td><td>"),
+        F.col("lang"),
+        F.lit("</td></tr></table></body>"),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+        "lang",
+    )
+
+
+def _results(spark, sf) -> DataFrame:
+    return run_extraction(
+        pages_from_documents(spark, sf), with_lineage=False)
+
+
+# SQL fragment: the kernel's whitespace-normalized view of `text`
+_NORM = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+
+
+def ex1_kernel_text(spark, sf):
+    """extracted_text must equal the normalized content paragraph —
+    the per-url byte-equality invariant checked via SQL."""
+    return _results(spark, sf).select(
+        "url", F.decode("extracted_text", "utf-8").alias("extracted"))
+
+
+EX1_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS url, {_NORM} AS extracted
+FROM documents
+"""
+
+
+def ex2_kernel_tables(spark, sf):
+    """Full table emission: dims, method, classification, CSV bytes and
+    the md5-of-canonical-JSON content hash, all reconstructed in SQL."""
+    r = _results(spark, sf)
+    t = r.select("url", F.explode("tables").alias("t"))
+    return t.select(
+        "url",
+        F.col("t.page").alias("page"),
+        F.col("t.method").alias("method"),
+        F.col("t.rows").alias("n_rows"),
+        F.col("t.columns").alias("n_cols"),
+        F.col("t.table_type").alias("table_type"),
+        F.round("t.quality_score", 6).alias("quality_score"),
+        F.round("t.numeric_percentage", 6).alias("numeric_pct"),
+        F.decode("t.csv_bytes", "utf-8").alias("csv_text"),
+        F.col("t.content_hash").alias("content_hash"),
+    )
+
+
+# kernel quality for the fixed 3x2 grid:
+#   completeness 1.0, consistency 1.0,
+#   structure: header 'metric','value' both non-numeric → 1.0; dim 1.0
+#   data_types: col0 {chars,lang} 0% numeric → consistent;
+#               col1 {n_chars, lang-code} 50% numeric → NOT consistent
+#               → 0.5
+#   size 1.0  →  0.3 + 0.2 + 0.2 + 0.1 + 0.1 = 0.9
+EX2_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       1 AS page,
+       'lattice' AS method,
+       2 AS n_rows,
+       2 AS n_cols,
+       'market_data' AS table_type,
+       0.9 AS quality_score,
+       0.25 AS numeric_pct,
+       'metric,value' || chr(10) || 'chars,' || CAST(n_chars AS VARCHAR)
+         || chr(10) || 'lang,' || lang || chr(10) AS csv_text,
+       md5('[["metric", "value"], ["chars", "' || CAST(n_chars AS VARCHAR)
+           || '"], ["lang", "' || lang || '"]]') AS content_hash
+FROM documents
+"""
+
+
+def ex3_kernel_spans(spark, sf):
+    """Span geometry: counts per kind + the content block's offsets."""
+    r = _results(spark, sf)
+    content = F.filter(
+        F.col("spans"), lambda s: s["kind"] == F.lit("content"))
+    return r.select(
+        "url",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter(
+            F.col("spans"),
+            lambda s: s["kind"] == F.lit("boilerplate"))).alias("n_boiler"),
+        F.size(F.filter(
+            F.col("spans"),
+            lambda s: s["kind"] == F.lit("table_cell"))).alias("n_cells"),
+        F.element_at(content, 1)["start"].alias("content_start"),
+        F.element_at(content, 1)["end"].alias("content_end"),
+    )
+
+
+# spans: nav 'Home' boiler (0,4); content (5, 5+len); 6 table cells
+EX3_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       8 AS n_spans,
+       1 AS n_boiler,
+       6 AS n_cells,
+       5 AS content_start,
+       5 + length({_NORM}) AS content_end
+FROM documents
+"""
+
+
+def flagship(spark, sf):
+    """Per-lang rollup of kernel output: doc count, extracted volume,
+    table count (the entry() smoke query)."""
+    r = _results(spark, sf)
+    pages = pages_from_documents(spark, sf).select("url", "lang")
+    return (
+        r.join(F.broadcast(pages), "url")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tables").alias("n_tables"),
+            F.sum(F.length(F.decode("extracted_text", "utf-8"))).alias(
+                "extracted_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+FLAGSHIP_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tables,
+       CAST(sum(length({_NORM})) AS BIGINT) AS extracted_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES = {
+    "ex1_kernel_text": (ex1_kernel_text, EX1_SQL),
+    "ex2_kernel_tables": (ex2_kernel_tables, EX2_SQL),
+    "ex3_kernel_spans": (ex3_kernel_spans, EX3_SQL),
+    "ex4_flagship_rollup": (flagship, FLAGSHIP_SQL),
+}

@@ -1,0 +1,620 @@
+"""Relational operator queries (SURVEY.md §2.2-2.6) with DuckDB oracles.
+
+Each entry re-expresses one reference operator row over the driver's
+TPC-H-ish tables. Conventions (driver compare contract):
+- every computed column aliased identically in Spark and SQL;
+- doubles rounded (round 2-6) on BOTH sides so ulp noise from
+  different summation orders can't flip the value hash;
+- DuckDB HUGEINT sums cast to BIGINT to match Spark's long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- filters
+def f1_min_size(spark, sf):
+    """F1 min-size filter (two-sided predicate; ref image w>=100&h>=100)."""
+    return (
+        T(spark, sf, "part")
+        .filter((F.col("p_size") >= 25) & (F.col("p_retailprice") >= 1200.0))
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+F1_SQL = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_size >= 25 AND p_retailprice >= 1200.0
+"""
+
+
+def f2_min_quality(spark, sf):
+    """F2 min-quality threshold filter (ref quality_score >= 0.3)."""
+    return (
+        T(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") >= 3000.0)
+        .select("s_suppkey", "s_name")
+    )
+
+
+F2_SQL = "SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal >= 3000.0"
+
+
+def f4_validity(spark, sf):
+    """F4 table-validity analog: groups with >=2 members and >=20%
+    'non-empty' (discounted) share."""
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.avg(F.when(F.col("l_discount") > 0, 1.0).otherwise(0.0)), 6
+            ).alias("nonempty_share"),
+        )
+        .filter((F.col("n_lines") >= 2) & (F.col("nonempty_share") >= 0.2))
+    )
+
+
+F4_SQL = """
+SELECT l_orderkey, count(*) AS n_lines,
+       CAST(round(avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END), 6)
+            AS DOUBLE) AS nonempty_share
+FROM lineitem GROUP BY l_orderkey
+HAVING count(*) >= 2
+   AND avg(CASE WHEN l_discount > 0 THEN 1.0 ELSE 0.0 END) >= 0.2
+"""
+
+
+def f5_threshold(spark, sf):
+    """F5 vector-count threshold (ref >=10 drawings per page)."""
+    return (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 10)
+    )
+
+
+F5_SQL = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id HAVING count(*) >= 10
+"""
+
+
+def f7_range_slice(spark, sf):
+    """F7 page-range predicate (BETWEEN slice + count)."""
+    return (
+        T(spark, sf, "orders")
+        .filter(
+            F.col("o_orderdate").between("2024-02-01", "2024-04-30 23:59:59")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+F7_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '2024-02-01 00:00:00'
+                      AND TIMESTAMP '2024-04-30 23:59:59'
+GROUP BY o_orderstatus
+"""
+
+
+def f9_title_candidate(spark, sf):
+    """F9 title-candidate predicate: 10 < len < 100 within first-3 rank
+    (window rank <= 3 per group, W2 shape)."""
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    return (
+        T(spark, sf, "part")
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.length("p_name") > 10)
+                & (F.length("p_name") < 100))
+        .select("p_brand", "p_partkey", "p_name")
+    )
+
+
+F9_SQL = """
+SELECT p_brand, p_partkey, p_name FROM (
+  SELECT p_brand, p_partkey, p_name,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rk
+  FROM part
+) WHERE rk <= 3 AND length(p_name) > 10 AND length(p_name) < 100
+"""
+
+
+# ----------------------------------------------------------------- joins
+def j1_packaging_join(spark, sf):
+    """J1 equi inner join, small side broadcast (ref metadata⋈files)."""
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def j2_range_join(spark, sf):
+    """J2 theta/range join (ref caption geometry): events banded into
+    static value ranges via a broadcast non-equi join."""
+    spark_bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 100.0),
+         ("large", 100.0, 1000.0)],
+        ["band", "lo", "hi"],
+    )
+    e = T(spark, sf, "events")
+    return (
+        e.join(
+            F.broadcast(spark_bands),
+            (e.value >= spark_bands.lo) & (e.value < spark_bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+J2_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 100.0),
+         ('large', 100.0, 1000.0))
+SELECT band, count(*) AS n,
+       CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def j3_anti_verify(spark, sf):
+    """J3 verification anti-join (ref metadata_files − actual_files)."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+J3_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def j4_resume_anti(spark, sf):
+    """J4 resume anti-join: inputs minus the committed set."""
+    o = T(spark, sf, "orders")
+    done = (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    return (
+        o.join(F.broadcast(done), "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+J4_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+"""
+
+
+def j5_semi(spark, sf):
+    """Semi complement of J3/J4 (orders that DO have an 'F' line)."""
+    o = T(spark, sf, "orders")
+    has = (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return o.join(has, "o_orderkey", "left_semi").select(
+        "o_orderkey", "o_totalprice")
+
+
+J5_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_linestatus = 'F')
+"""
+
+
+# ------------------------------------------------------------ aggregates
+def a1_count_by_method(spark, sf):
+    return T(spark, sf, "events").groupBy("event_type").agg(
+        F.count("*").alias("n"))
+
+
+A1_SQL = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def a2_count_by_type(spark, sf):
+    return T(spark, sf, "documents").groupBy("lang").agg(
+        F.count("*").alias("n"))
+
+
+A2_SQL = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def a3_quality_histogram(spark, sf):
+    """A3 3-bucket histogram (ref high>=0.7 / medium>=0.4 / low)."""
+    bucket = (
+        F.when(F.col("s_acctbal") >= 7000.0, "high")
+        .when(F.col("s_acctbal") >= 4000.0, "medium")
+        .otherwise("low")
+    )
+    return (
+        T(spark, sf, "supplier")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+A3_SQL = """
+SELECT CASE WHEN s_acctbal >= 7000.0 THEN 'high'
+            WHEN s_acctbal >= 4000.0 THEN 'medium'
+            ELSE 'low' END AS bucket,
+       count(*) AS n
+FROM supplier GROUP BY 1
+"""
+
+
+def a4_distinct_with_content(spark, sf):
+    """A4 pages-with-content: conditional countDistinct."""
+    return T(spark, sf, "events").agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_users_purchasing")
+    )
+
+
+A4_SQL = """
+SELECT count(DISTINCT CASE WHEN event_type = 'purchase'
+                           THEN user_id END) AS n_users_purchasing
+FROM events
+"""
+
+
+def a5_bool_rate(spark, sf):
+    """A5 OCR-success-rate shape: avg of a boolean indicator."""
+    return T(spark, sf, "documents").agg(
+        F.round(
+            F.avg(F.when(F.col("text").contains("table"), 1.0)
+                  .otherwise(0.0)), 6
+        ).alias("hit_rate")
+    )
+
+
+A5_SQL = """
+SELECT CAST(round(avg(CASE WHEN contains(text, 'table') THEN 1.0
+                           ELSE 0.0 END), 6) AS DOUBLE) AS hit_rate
+FROM documents
+"""
+
+
+def a6_mode(spark, sf):
+    """A6 modal value (argmax by count; ties → smallest value, the
+    kernel's deterministic modal rule)."""
+    counts = (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linenumber")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_linenumber"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_linenumber").alias("modal_value"),
+                "cnt")
+    )
+
+
+A6_SQL = """
+SELECT l_returnflag, l_linenumber AS modal_value, cnt FROM (
+  SELECT l_returnflag, l_linenumber, count(*) AS cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_linenumber ASC) AS rk
+  FROM lineitem GROUP BY l_returnflag, l_linenumber
+) WHERE rk = 1
+"""
+
+
+def a7_completeness(spark, sf):
+    """A7 completeness ratio: non-empty share per group."""
+    return (
+        T(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.avg(F.when(F.length("text") > 0, 1.0).otherwise(0.0)), 6
+            ).alias("completeness")
+        )
+    )
+
+
+A7_SQL = """
+SELECT source,
+       CAST(round(avg(CASE WHEN length(text) > 0 THEN 1.0 ELSE 0.0 END), 6)
+            AS DOUBLE) AS completeness
+FROM documents GROUP BY source
+"""
+
+
+def a8_numeric_pct(spark, sf):
+    """A8 numeric percentage via try_cast over extracted values."""
+    e = T(spark, sf, "events")
+    vals = e.select(
+        F.get_json_object("props", "$.k").alias("v"))
+    return vals.agg(
+        F.round(
+            F.avg(
+                F.when(F.expr("try_cast(v AS DOUBLE)").isNotNull(), 1.0)
+                .otherwise(0.0)
+            ), 6
+        ).alias("numeric_pct")
+    )
+
+
+A8_SQL = """
+SELECT CAST(round(avg(CASE WHEN try_cast(json_extract_string(props, '$.k')
+                                         AS DOUBLE) IS NOT NULL
+                           THEN 1.0 ELSE 0.0 END), 6)
+            AS DOUBLE) AS numeric_pct
+FROM events
+"""
+
+
+def a10_type_consistency(spark, sf):
+    """A10 per-column type-consistency: share of groups whose indicator
+    rate is >80% or <20% (two-level aggregation)."""
+    per_group = (
+        T(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.avg(
+                F.when(F.col("text").contains("spark"), 1.0).otherwise(0.0)
+            ).alias("frac")
+        )
+    )
+    return per_group.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("frac") > 0.8) | (F.col("frac") < 0.2), 1.0
+                ).otherwise(0.0)
+            ), 6
+        ).alias("consistency")
+    )
+
+
+A10_SQL = """
+SELECT CAST(round(avg(CASE WHEN frac > 0.8 OR frac < 0.2
+                           THEN 1.0 ELSE 0.0 END), 6)
+            AS DOUBLE) AS consistency
+FROM (
+  SELECT source, avg(CASE WHEN contains(text, 'spark') THEN 1.0
+                          ELSE 0.0 END) AS frac
+  FROM documents GROUP BY source
+)
+"""
+
+
+def a11_grand_totals(spark, sf):
+    """A11 run-stats grand totals (TPC-H Q1-shaped pricing summary)."""
+    li = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= "2024-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+A11_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------- windows/sorts/limits
+def w1_row_number(spark, sf):
+    """W1 per-group sequential index (first 3 orders per customer)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        T(spark, sf, "orders")
+        .withColumn("order_seq", F.row_number().over(w))
+        .filter(F.col("order_seq") <= 3)
+        .select("o_custkey", "o_orderkey", "order_seq")
+    )
+
+
+W1_SQL = """
+SELECT o_custkey, o_orderkey, order_seq FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS order_seq
+  FROM orders
+) WHERE order_seq <= 3
+"""
+
+
+def w3_topk(spark, sf):
+    """W3 top-10 by size (TakeOrderedAndProject short-circuit)."""
+    return (
+        T(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+W3_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def w4_sorted_counts(spark, sf):
+    """W4 count-ordered summary report."""
+    return (
+        T(spark, sf, "part")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("p_type"))
+    )
+
+
+W4_SQL = """
+SELECT p_type, count(*) AS n FROM part
+GROUP BY p_type ORDER BY n DESC, p_type ASC
+"""
+
+
+def l1_limit(spark, sf):
+    """L1 deterministic head-N cap (ordered limit)."""
+    return (
+        T(spark, sf, "documents")
+        .orderBy("doc_id")
+        .limit(20)
+        .select("doc_id", "lang")
+    )
+
+
+L1_SQL = "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 20"
+
+
+# --------------------------------------------------------------- set ops
+def u1_union(spark, sf):
+    """U1 bag union of per-method results (duplicates kept)."""
+    e = T(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "error").select(
+        "event_id", "event_type")
+    b = e.filter(F.col("value") > 90.0).select("event_id", "event_type")
+    return a.unionByName(b)
+
+
+U1_SQL = """
+SELECT event_id, event_type FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, event_type FROM events WHERE value > 90.0
+"""
+
+
+def u2_except(spark, sf):
+    """U2 set difference (ref missing-files check)."""
+    all_keys = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"))
+    with_orders = T(spark, sf, "orders").select(
+        F.col("o_custkey").alias("k"))
+    return all_keys.exceptAll(with_orders.distinct()).distinct()
+
+
+U2_SQL = """
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey AS k FROM orders
+"""
+
+
+def u3_distinct(spark, sf):
+    return T(spark, sf, "documents").select("lang", "source").distinct()
+
+
+U3_SQL = "SELECT DISTINCT lang, source FROM documents"
+
+
+def d1_dedup_hash(spark, sf):
+    """D1 dedup by content hash, deterministic first-wins
+    (row_number over hash partition ordered by arrival key)."""
+    d = T(spark, sf, "documents").withColumn("h", F.md5("text"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("h", F.col("doc_id").alias("keeper_id"))
+    )
+
+
+D1_SQL = """
+SELECT h, doc_id AS keeper_id FROM (
+  SELECT md5(text) AS h, doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+  FROM documents
+) WHERE rk = 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "f1_min_size": (f1_min_size, F1_SQL),
+    "f2_min_quality": (f2_min_quality, F2_SQL),
+    "f4_validity": (f4_validity, F4_SQL),
+    "f5_threshold": (f5_threshold, F5_SQL),
+    "f7_range_slice": (f7_range_slice, F7_SQL),
+    "f9_title_candidate": (f9_title_candidate, F9_SQL),
+    "j1_packaging_join": (j1_packaging_join, J1_SQL),
+    "j2_range_join": (j2_range_join, J2_SQL),
+    "j3_anti_verify": (j3_anti_verify, J3_SQL),
+    "j4_resume_anti": (j4_resume_anti, J4_SQL),
+    "j5_semi": (j5_semi, J5_SQL),
+    "a1_count_by_method": (a1_count_by_method, A1_SQL),
+    "a2_count_by_type": (a2_count_by_type, A2_SQL),
+    "a3_quality_histogram": (a3_quality_histogram, A3_SQL),
+    "a4_distinct_with_content": (a4_distinct_with_content, A4_SQL),
+    "a5_bool_rate": (a5_bool_rate, A5_SQL),
+    "a6_mode": (a6_mode, A6_SQL),
+    "a7_completeness": (a7_completeness, A7_SQL),
+    "a8_numeric_pct": (a8_numeric_pct, A8_SQL),
+    "a10_type_consistency": (a10_type_consistency, A10_SQL),
+    "a11_grand_totals": (a11_grand_totals, A11_SQL),
+    "w1_row_number": (w1_row_number, W1_SQL),
+    "w3_topk": (w3_topk, W3_SQL),
+    "w4_sorted_counts": (w4_sorted_counts, W4_SQL),
+    "l1_limit": (l1_limit, L1_SQL),
+    "u1_union": (u1_union, U1_SQL),
+    "u2_except": (u2_except, U2_SQL),
+    "u3_distinct": (u3_distinct, U3_SQL),
+    "d1_dedup_hash": (d1_dedup_hash, D1_SQL),
+}

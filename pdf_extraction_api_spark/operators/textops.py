@@ -1,0 +1,376 @@
+"""Training-data text-pipeline operators over `documents`.
+
+The large-scale corpus ops a 100 TB training-data pipeline needs,
+expressed Spark-first (all JVM built-ins — explode/window/groupBy —
+no Python in the hot path) with DuckDB oracles:
+
+- exact dedup (hash groupBy)                      → dd_exact
+- MinHash+LSH near-dup (shingle→band→bucket join) → dd_minhash_lsh
+- n-gram Jaccard verification of candidates       → dd_ngram_jaccard
+- SimHash signatures (bitwise majority)           → dd_simhash
+- language-ID by keyword-hit argmax               → tx_langid_argmax
+- quality scoring (length/punct/stopword ratios)  → tx_quality
+- token counting                                  → tx_tokens
+- document fingerprinting (min-hash of 8-grams)   → tx_fingerprint
+
+Portability notes: the hash primitive is md5 (identical in Spark and
+DuckDB — Spark's xxhash64/hash are JVM-specific so they never appear in
+an oracle-checked result); min-over-md5-hex is a valid uniform minhash
+because md5 is uniform on its hex-string order.
+
+Scale notes: every op is a shuffle-on-key aggregation/join; LSH bands
+bound the self-join fan-out (no O(n²) pairs); shingle explode is
+map-side; candidate verification joins only the LSH survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .relational import T
+
+N_BANDS = 4
+SHINGLE = 3
+
+
+def _tokens(spark, sf) -> DataFrame:
+    """(doc_id, pos, token) — whitespace tokenization via posexplode."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("pos", "token"),
+    )
+
+
+_TOKENS_SQL = r"""
+SELECT doc_id, pos, toks[pos + 1] AS token
+FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents),
+     LATERAL (SELECT unnest(range(len(toks))) AS pos) t
+"""
+
+
+def _shingles(spark, sf) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-token shingles via window lead."""
+    t = _tokens(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        t.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "token", "t1", "t2").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         token || ' ' || lead(token, 1) OVER w || ' '
+               || lead(token, 2) OVER w AS shingle,
+         lead(token, 2) OVER w AS t2
+  FROM ({_TOKENS_SQL})
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+) WHERE t2 IS NOT NULL
+"""
+
+
+def dd_exact(spark, sf):
+    """Exact dedup: hash-groupBy, keeper = min id, group size."""
+    return (
+        T(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DD_EXACT_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dd_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs: per (doc, band) signature =
+    min(md5(band:shingle)); docs sharing any band signature are
+    candidates. The band join bounds fan-out at scale (no O(n²))."""
+    sh = _shingles(spark, sf)
+    bands = spark.range(N_BANDS).select(
+        F.col("id").cast("int").alias("band"))
+    sigs = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("band").cast("string"),
+                                  F.col("shingle")))
+            ).alias("sig")
+        )
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+DD_MINHASH_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+bands AS (SELECT unnest(range({N_BANDS})) AS band),
+sigs AS (
+  SELECT doc_id, band,
+         min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM shingles, bands GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def dd_ngram_jaccard(spark, sf):
+    """n-gram Jaccard similarity for every doc pair sharing >=5
+    shingles (verification stage of the dedup pipeline)."""
+    sh = _shingles(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= 5)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+DD_JACCARD_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5)
+SELECT doc_a, doc_b,
+       CAST(round(inter / (sa.n + sb.n - inter), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+def dd_simhash(spark, sf):
+    """16-bit SimHash: per-bit majority vote over md5 hex digits of the
+    doc's distinct tokens; signature reassembled via shiftleft."""
+    toks = _tokens(spark, sf).select("doc_id", "token").distinct()
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    contrib = (
+        toks.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id", "bit",
+            (
+                (
+                    F.expr(
+                        "instr('0123456789abcdef', "
+                        "substring(md5(token), bit + 1, 1))"
+                    ) - 1
+                ) % 2 * 2 - 1
+            ).alias("vote"),
+        )
+    )
+    per_bit = contrib.groupBy("doc_id", "bit").agg(
+        F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0,
+                   F.expr("shiftleft(1, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+DD_SIMHASH_SQL = f"""
+WITH toks AS (SELECT DISTINCT doc_id, token FROM ({_TOKENS_SQL})),
+bits AS (SELECT unnest(range(16)) AS bit),
+contrib AS (
+  SELECT doc_id, bit,
+         ((instr('0123456789abcdef',
+                 substring(md5(token), CAST(bit AS INT) + 1, 1)) - 1)
+          % 2) * 2 - 1 AS vote
+  FROM toks, bits),
+per_bit AS (
+  SELECT doc_id, bit, sum(vote) AS s FROM contrib GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(bit AS INT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def tx_langid_argmax(spark, sf):
+    """Language/topic-ID: keyword-hit scores per class, deterministic
+    first-wins argmax CASE (the A12 classification shape)."""
+    d = T(spark, sf, "documents")
+    s1 = sum(
+        F.when(F.col("text").contains(k), 1).otherwise(0)
+        for k in ("key", "agg", "row"))
+    s2 = sum(
+        F.when(F.col("text").contains(k), 1).otherwise(0)
+        for k in ("scan", "slow", "fast"))
+    s3 = sum(
+        F.when(F.col("text").contains(k), 1).otherwise(0)
+        for k in ("merge", "sort", "window"))
+    label = (
+        F.when((s1 >= s2) & (s1 >= s3) & (s1 > 0), "query")
+        .when((s2 >= s3) & (s2 > 0), "exec")
+        .when(s3 > 0, "plan")
+        .otherwise("unknown")
+    )
+    return d.groupBy(label.alias("label")).agg(F.count("*").alias("n"))
+
+
+TX_LANGID_SQL = """
+SELECT label, count(*) AS n FROM (
+  SELECT CASE
+    WHEN s1 >= s2 AND s1 >= s3 AND s1 > 0 THEN 'query'
+    WHEN s2 >= s3 AND s2 > 0 THEN 'exec'
+    WHEN s3 > 0 THEN 'plan'
+    ELSE 'unknown' END AS label
+  FROM (
+    SELECT
+      (CASE WHEN contains(text, 'key') THEN 1 ELSE 0 END
+       + CASE WHEN contains(text, 'agg') THEN 1 ELSE 0 END
+       + CASE WHEN contains(text, 'row') THEN 1 ELSE 0 END) AS s1,
+      (CASE WHEN contains(text, 'scan') THEN 1 ELSE 0 END
+       + CASE WHEN contains(text, 'slow') THEN 1 ELSE 0 END
+       + CASE WHEN contains(text, 'fast') THEN 1 ELSE 0 END) AS s2,
+      (CASE WHEN contains(text, 'merge') THEN 1 ELSE 0 END
+       + CASE WHEN contains(text, 'sort') THEN 1 ELSE 0 END
+       + CASE WHEN contains(text, 'window') THEN 1 ELSE 0 END) AS s3
+    FROM documents))
+GROUP BY label
+"""
+
+
+def tx_quality(spark, sf):
+    """Text quality: mean token length, stopword ratio, alpha ratio →
+    weighted score (the corpus-filtering primitive)."""
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    mean_len = F.length(F.regexp_replace("text", r"\s+", "")) / n_tok
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: x.isin("a", "the", "value", "key"))
+    ) / n_tok
+    score = F.round(
+        0.5 * F.least(mean_len / F.lit(8.0), F.lit(1.0))
+        + 0.5 * (1.0 - stop_ratio), 6)
+    return d.select(
+        "doc_id", F.col("n_chars").alias("n_chars"),
+        n_tok.alias("n_tokens"), score.alias("quality"))
+
+
+TX_QUALITY_SQL = r"""
+SELECT doc_id, n_chars, n_tokens,
+       CAST(round(0.5 * least(mean_len / 8.0, 1.0)
+                + 0.5 * (1.0 - stop_ratio), 6) AS DOUBLE) AS quality
+FROM (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         length(regexp_replace(text, '\s+', '', 'g'))
+           / CAST(len(toks) AS DOUBLE) AS mean_len,
+         len(list_filter(toks, x -> x IN ('a', 'the', 'value', 'key')))
+           / CAST(len(toks) AS DOUBLE) AS stop_ratio
+  FROM (SELECT doc_id, n_chars, text,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents))
+"""
+
+
+def tx_tokens(spark, sf):
+    """Token counting: total + distinct per doc."""
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+TX_TOKENS_SQL = r"""
+SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_unique
+FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+def tx_fingerprint(spark, sf):
+    """Document fingerprint: min md5 over all 8-char windows (rolling-
+    hash winnowing, one representative hash per doc)."""
+    d = T(spark, sf, "documents").filter(F.length("text") >= 8)
+    pos = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id", F.md5(F.expr("substring(text, p, 8)")).alias("g"))
+    return grams.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
+
+
+TX_FINGERPRINT_SQL = """
+SELECT doc_id, min(md5(substring(text, CAST(p AS INT), 8))) AS fingerprint
+FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS p
+      FROM documents WHERE length(text) >= 8)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
+    "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
+    "tx_langid_argmax": (tx_langid_argmax, TX_LANGID_SQL),
+    "tx_quality": (tx_quality, TX_QUALITY_SQL),
+    "tx_tokens": (tx_tokens, TX_TOKENS_SQL),
+    "tx_fingerprint": (tx_fingerprint, TX_FINGERPRINT_SQL),
+}

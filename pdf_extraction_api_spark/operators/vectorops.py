@@ -1,0 +1,177 @@
+"""Similarity search over the `embeddings` table (array<float>).
+
+- ann_topk_brute  — brute-force cosine top-k (the correctness baseline):
+  dot product via zip_with + aggregate (JVM higher-order functions, no
+  Python), rank via window.
+- ann_ivf_label   — the scale path: IVF-style coarse partition using the
+  `label` column as the cluster id; the query only scans its own
+  cluster's candidates (at 100 TB: co-partition by centroid id, the
+  probe is a partition-pruned equi join instead of a cross join).
+- dd_embed_cosine — embedding near-duplicate pairs above a cosine
+  threshold within clusters.
+
+Cosine is computed in full double precision on both engines; reported
+values rounded to 4 decimals (ranking uses full precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .relational import T
+
+K = 3
+N_QUERIES = 5
+SIM_THRESHOLD = 0.2
+
+
+def _with_norm(df: DataFrame, vec: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        F.col("label").alias(f"{prefix}_label"),
+        F.col(vec).alias(f"{prefix}_v"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias(f"{prefix}_norm"),
+    )
+
+
+def _cosine(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot
+
+
+def ann_topk_brute(spark, sf):
+    e = T(spark, sf, "embeddings")
+    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
+    c = _with_norm(e, "embedding", "c")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("q_id", "rank", F.col("c_id").alias("neighbor_id"),
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q_id, e.vec_id AS c_id,
+         list_dot_product(qv, e.embedding)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q_id)
+SELECT q_id, rank, c_id AS neighbor_id,
+       CAST(round(cos, 4) AS DOUBLE) AS cos_sim
+FROM (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {K}
+"""
+
+
+def ann_ivf_label(spark, sf):
+    """IVF-style: probe only the query's own cluster (label)."""
+    e = T(spark, sf, "embeddings")
+    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
+    c = _with_norm(e, "embedding", "c")
+    scored = (
+        q.join(c, (F.col("q_label") == F.col("c_label"))
+               & (F.col("q_id") != F.col("c_id")))
+        .select(
+            "q_id", "c_id",
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("q_id", "rank", F.col("c_id").alias("neighbor_id"),
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q_id, e.vec_id AS c_id,
+         list_dot_product(qv, e.embedding)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+  FROM q JOIN embeddings e
+    ON e.label = q_label AND e.vec_id <> q_id)
+SELECT q_id, rank, c_id AS neighbor_id,
+       CAST(round(cos, 4) AS DOUBLE) AS cos_sim
+FROM (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {K}
+"""
+
+
+def dd_embed_cosine(spark, sf):
+    """Embedding near-dup pairs (cos >= threshold) within clusters."""
+    e = T(spark, sf, "embeddings")
+    a = _with_norm(e, "embedding", "q")
+    b = _with_norm(e, "embedding", "c")
+    return (
+        a.join(b, (F.col("q_label") == F.col("c_label"))
+               & (F.col("q_id") < F.col("c_id")))
+        .select(
+            F.col("q_id").alias("doc_a"),
+            F.col("c_id").alias("doc_b"),
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= SIM_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+DD_EMBED_SQL = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       CAST(round(
+         list_dot_product(a.embedding, b.embedding)
+           / (sqrt(list_dot_product(a.embedding, a.embedding))
+              * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+         AS DOUBLE) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+           * sqrt(list_dot_product(b.embedding, b.embedding)))
+      >= {SIM_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
+    "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
+    "dd_embed_cosine": (dd_embed_cosine, DD_EMBED_SQL),
+}
