@@ -1,0 +1,78 @@
+"""spark-submit entrypoint (north_rule: `spark-submit --py-files`).
+
+    python tools/make_pyfiles.py                 # → dist/engine.zip
+    spark-submit --py-files dist/engine.zip \
+        pdf_extraction_api_spark/job.py \
+        --pages PATH --warehouse DIR --run-id ID \
+        [--resume] [--salt-partitions N] [--stats]
+
+One DataFrame plan per run: scan → [resume anti-join] → kernel →
+results snapshot + audit snapshot (both atomic manifest commits).
+Deterministic: run twice with --resume and the second run is a no-op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import SparkSession
+
+    from pdf_extraction_api_spark.plans.extract import (
+        audit_metrics,
+        load_pages,
+        resume_filter,
+        run_extraction,
+        run_stats,
+    )
+    from pdf_extraction_api_spark.sources.catalog import SnapshotCatalog
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip urls already committed (J4 anti-join)")
+    ap.add_argument("--salt-partitions", type=int, default=None,
+                    help="explicit url-hash salting for skewed layouts")
+    ap.add_argument("--stats", action="store_true",
+                    help="print run statistics JSON to stdout")
+    args = ap.parse_args(argv)
+
+    spark = (
+        SparkSession.builder.appName(f"spark-extract-{args.run_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .getOrCreate()
+    )
+    cat = SnapshotCatalog(args.warehouse)
+
+    pages = load_pages(spark, args.pages)
+    if args.resume:
+        committed = cat.read(spark, "results")
+        if committed is not None:
+            pages = resume_filter(pages, committed)
+
+    results = run_extraction(
+        pages, salt_partitions=args.salt_partitions, with_lineage=True)
+    results = results.cache()  # one kernel pass feeds both sinks
+    try:
+        if results.limit(1).count() == 0:
+            print("nothing to do (all urls committed)")
+            return 0
+        cat.append(results.drop("partition_id", "bytes_in", "kernel_us"),
+                   "results", run_id=args.run_id)
+        cat.append(audit_metrics(results, args.run_id), "audit",
+                   run_id=args.run_id)
+        if args.stats:
+            row = run_stats(results).collect()[0]
+            print(row.asDict())
+    finally:
+        results.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
