@@ -55,17 +55,25 @@ FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
 
 
 def _shingles(spark, sf) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-token shingles via window lead."""
-    t = _tokens(spark, sf)
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    """(doc_id, shingle) — distinct 3-token shingles.
+
+    Map-side array construction (transform over the token array) —
+    NO per-doc sort/window shuffle; the only shuffle is the distinct.
+    """
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
     return (
-        t.withColumn("t1", F.lead("token", 1).over(w))
-        .withColumn("t2", F.lead("token", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "token", "t1", "t2").alias("shingle"),
-        )
+        d.filter(F.size(toks) >= SHINGLE)
+        .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -105,27 +113,30 @@ def dd_minhash_lsh(spark, sf):
     min(md5(band:shingle)); docs sharing any band signature are
     candidates. The band join bounds fan-out at scale (no O(n²))."""
     sh = _shingles(spark, sf)
-    bands = spark.range(N_BANDS).select(
-        F.col("id").cast("int").alias("band"))
-    sigs = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("band").cast("string"),
-                                  F.col("shingle")))
-            ).alias("sig")
-        )
+    # all band minima in ONE map-side-combinable hash agg (no ×bands
+    # row blowup before the shuffle), then unpivot to (doc, band, sig)
+    sigs_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(b)), "shingle"))).alias(
+                f"s{b}")
+            for b in range(N_BANDS)
+        ]
     )
+    sigs = sigs_wide.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", F.concat_ws("|", "bs.band", "bs.sig").alias("key"))
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, F.col("a.key") == F.col("b.key"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -199,30 +210,32 @@ JOIN sizes sb ON sb.doc_id = doc_b
 def dd_simhash(spark, sf):
     """16-bit SimHash: per-bit majority vote over md5 hex digits of the
     doc's distinct tokens; signature reassembled via shiftleft."""
-    toks = _tokens(spark, sf).select("doc_id", "token").distinct()
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    contrib = (
-        toks.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id", "bit",
+    toks = (
+        _tokens(spark, sf)
+        .select("doc_id", F.md5("token").alias("h"))
+        .distinct()
+    )
+    # per-bit votes in ONE map-side-combinable agg: 16 sum columns over
+    # the hashed token (md5 computed once, not once per bit), signature
+    # reassembled from the 16 sums without any row blowup.
+    votes = [
+        (
             (
-                (
-                    F.expr(
-                        "instr('0123456789abcdef', "
-                        "substring(md5(token), bit + 1, 1))"
-                    ) - 1
-                ) % 2 * 2 - 1
-            ).alias("vote"),
-        )
+                F.expr(
+                    f"instr('0123456789abcdef', substring(h, {b + 1}, 1))"
+                ) - 1
+            ) % 2 * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    wide = toks.select("doc_id", *votes).groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(16)]
     )
-    per_bit = contrib.groupBy("doc_id", "bit").agg(
-        F.sum("vote").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0,
-                   F.expr("shiftleft(1, bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return wide.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 DD_SIMHASH_SQL = f"""

@@ -1,0 +1,55 @@
+"""Registry smoke: every queries() entry must at least build its plan
+(catches API/alias breakage without the full oracle run), and a sample
+executes end-to-end at sf0.001. Full value verification is the DuckDB
+oracle gate (tools/check_oracles.py at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+EXECUTE_SAMPLE = [
+    "a6_mode", "j2_range_join", "d1_dedup_hash", "dd_minhash_lsh",
+    "dd_simhash", "ann_ivf_label", "tx_fingerprint", "c9_tickers",
+    "mm_decode_stub", "ex2_kernel_tables",
+]
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def test_all_queries_build(spark, registry):
+    queries, _ = registry
+    assert len(queries) >= 60
+    for name, fn in queries.items():
+        df = fn(spark, SF)
+        assert df.columns, name
+
+
+def test_oracles_cover_queries(registry):
+    queries, oracles = registry
+    assert set(oracles) <= set(queries)
+    rows_only = set(queries) - set(oracles)
+    # only genuinely non-SQL ops may skip the oracle
+    assert rows_only == {"mm_decode_stub", "mm_frame_sample"}
+
+
+@pytest.mark.parametrize("name", EXECUTE_SAMPLE)
+def test_sample_queries_execute(spark, registry, name):
+    queries, _ = registry
+    out = queries[name](spark, SF)
+    assert out.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    rows = e.entry(spark).collect()
+    assert len(rows) > 0
+    assert {"lang", "n_docs", "n_tables", "extracted_chars"} == set(
+        rows[0].asDict())
