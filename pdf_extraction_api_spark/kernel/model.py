@@ -30,6 +30,12 @@ def _norm(s: str) -> str:
     return _WS.sub(" ", s).strip()
 
 
+def _nonws_count(s: str) -> int:
+    """Non-whitespace char count — same \\s class as refkernel's
+    findall(r'\\S') (Unicode-aware) but one C pass, no char list."""
+    return len(_WS.sub("", s))
+
+
 def pre_rows(raw: str) -> list[list[str]] | None:
     lines = [ln for ln in raw.split("\n") if ln.strip()]
     if len(lines) < 2:
@@ -123,8 +129,7 @@ class DocModel(HTMLParser):
         if rows is not None:
             self._emit_table(page, "stream", rows)
         else:
-            self._emit_block(page, boiler, raw, 0,
-                             len(_NONWS.findall(raw)))
+            self._emit_block(page, boiler, raw, 0, _nonws_count(raw))
 
     # -- events ----------------------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -133,12 +138,17 @@ class DocModel(HTMLParser):
             self._skip += 1
             self._stack.append((tag, boiler_parent, self._page))
             return
-        attrd = dict(attrs)
-        cls = (attrd.get("class") or "").lower()
-        boiler = boiler_parent or tag in BOILER_TAGS or any(
-            tok in cls for tok in BOILER_CLASS_TOKENS)
+        if attrs:
+            attrd = dict(attrs)
+            cls = attrd.get("class")
+            boiler = boiler_parent or tag in BOILER_TAGS or (
+                cls is not None and any(
+                    tok in cls.lower() for tok in BOILER_CLASS_TOKENS))
+        else:
+            attrd = None
+            boiler = boiler_parent or tag in BOILER_TAGS
         page_before = self._page
-        if tag == "section":
+        if tag == "section" and attrd is not None:
             dp = attrd.get("data-page")
             if dp is not None:
                 try:
@@ -152,7 +162,7 @@ class DocModel(HTMLParser):
             return
         if tag == "table":
             self._flush_blk()
-            border = attrd.get("border")
+            border = attrd.get("border") if attrd is not None else None
             method = ("lattice" if border not in (None, "", "0")
                       else "stream")
             self._tbl.append([self._page, method, [], None, None])
@@ -232,7 +242,7 @@ class DocModel(HTMLParser):
             boiler = self._stack[-1][1] if self._stack else False
             self._blk = [self._page, boiler, [], 0, 0]
         self._blk[2].append(data)
-        n = len(_NONWS.findall(data))
+        n = _nonws_count(data)
         self._blk[4] += n
         if self._links:
             self._blk[3] += n
@@ -245,13 +255,22 @@ class DocModel(HTMLParser):
         self._flush_blk()
 
 
+_USE_STDLIB = bool(int(
+    __import__("os").environ.get("SPARK_EXTRACT_STDLIB_PARSER", "0")))
+
+
 def parse_document(html: bytes) -> DocModel:
     try:
         text = html.decode("utf-8")
     except UnicodeDecodeError:
         text = html.decode("latin-1")
     m = DocModel()
-    m.feed(text)
-    m.close()
+    if _USE_STDLIB:
+        m.feed(text)
+        m.close()
+    else:
+        from .htmlscan import scan
+
+        scan(text, m)
     m.finish()
     return m

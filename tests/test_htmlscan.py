@@ -1,0 +1,104 @@
+"""Fast scanner ⇔ stdlib html.parser equivalence, through the full
+kernel, byte-compared against refkernel (which stays on html.parser)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures.gen_pages import gen_rows
+from pdf_extraction_api_spark.kernel.batch import extract_one
+from refkernel.extract import extract_document
+
+NASTY = [
+    # comments, doctype, PIs
+    b"<!DOCTYPE html><!-- c --><p>Real content paragraph long enough"
+    b" here.</p><?php hidden ?>",
+    # entities: named / numeric / hex / missing-semicolon
+    b"<p>AT&amp;T &#65;&#x42; caf&eacute; fish &amp chips and more text"
+    b" here</p>",
+    # unquoted / single-quoted / valueless attributes
+    b"<table border=1 class='x y'><tr><td data-a>a</td><td>b</td></tr>"
+    b"<tr><td>c</td><td>d</td></tr></table>",
+    # self-closing and void tags
+    b"<p>Before the break<br/>after the break, still one block here"
+    b" ok</p><img src='x.png'/>",
+    # script/style rawtext containing '<' and fake tags
+    b"<script>if (a < b) { x = '<p>not a tag</p>'; }</script>"
+    b"<style>p > a { color: red }</style>"
+    b"<p>Visible content paragraph long enough to be kept.</p>",
+    # '<' as plain text, '<3' emoticon
+    b"<p>I <3 parsing; 1 < 2 and 3 > 2, all just ordinary text"
+    b" here.</p>",
+    # stray close tags, mismatched nesting
+    b"</div><p>Content paragraph long enough here okay.</p></span>",
+    # attr values containing '>' inside quotes
+    b'<div class="a>b"><p>Quoted-gt attr paragraph long enough'
+    b" here.</p></div>",
+    # uppercase tags and attributes
+    b'<TABLE BORDER="1"><TR><TD>x</TD><TD>y</TD></TR>'
+    b"<TR><TD>1</TD><TD>2</TD></TR></TABLE>",
+    # unterminated tag at EOF
+    b"<p>Tail content paragraph long enough here okay.</p><div cla",
+    # bogus markup declarations
+    b"<![CDATA[ x > y ]]><p>After cdata-ish block, long enough"
+    b" text.</p>",
+    # entities in attributes
+    b'<div class="nav&#45;bar"><p>short link</p></div>',
+    # nested pre with table-ish content
+    b"<pre>col a      col b\n1.0      2.0\n3.0      4.0</pre>",
+    # empty attr chunk whitespace
+    b"<p   >Spaced tag content paragraph long enough here.</p>",
+]
+
+
+def _norm(res: dict) -> tuple:
+    return (
+        res["n_pages"], res["extracted_text"],
+        tuple(
+            tuple(sorted(t.items())) if not isinstance(t, dict) else
+            tuple(sorted(
+                (k, tuple(map(tuple, v)) if k == "cells" else
+                 tuple(sorted(v.items())) if k == "metadata" else v)
+                for k, v in t.items()))
+            for t in res["tables"]),
+        tuple(tuple(sorted(s.items())) for s in res["spans"]),
+    )
+
+
+@pytest.mark.parametrize("seed", [42, 7, 99])
+def test_scanner_matches_refkernel_on_corpus(seed):
+    for r in gen_rows(250, seed=seed):
+        eng = extract_one(r["url"], r["html"])
+        ref = extract_document(r["url"], r["html"])
+        assert _norm(eng) == _norm(ref), r["url"]
+
+
+@pytest.mark.parametrize("idx", range(len(NASTY)))
+def test_scanner_matches_refkernel_on_nasty(idx):
+    html = NASTY[idx]
+    eng = extract_one("u", html)
+    ref = extract_document("u", html)
+    assert _norm(eng) == _norm(ref), html
+
+
+def test_scanner_matches_stdlib_flag():
+    """Same kernel, both parser paths, same bytes."""
+    import importlib
+    import os
+
+    from pdf_extraction_api_spark.kernel import model
+
+    rows = gen_rows(60, seed=3)
+    fast = [extract_one(r["url"], r["html"]) for r in rows]
+    os.environ["SPARK_EXTRACT_STDLIB_PARSER"] = "1"
+    try:
+        importlib.reload(model)
+        from pdf_extraction_api_spark.kernel import batch
+        importlib.reload(batch)
+        slow = [batch.extract_one(r["url"], r["html"]) for r in rows]
+    finally:
+        os.environ.pop("SPARK_EXTRACT_STDLIB_PARSER")
+        importlib.reload(model)
+        from pdf_extraction_api_spark.kernel import batch
+        importlib.reload(batch)
+    assert fast == slow
