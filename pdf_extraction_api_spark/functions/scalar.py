@@ -358,10 +358,10 @@ def c21_size_buckets(spark, sf):
 
 
 C21_SQL = """
-SELECT CASE WHEN n_chars >= 100 AND n_chars <= 300 THEN 1.0
+SELECT CAST(CASE WHEN n_chars >= 100 AND n_chars <= 300 THEN 1.0
             WHEN n_chars < 100 THEN 0.1
             WHEN n_chars > 450 THEN 0.6
-            ELSE 0.8 END AS size_score,
+            ELSE 0.8 END AS DOUBLE) AS size_score,
        count(*) AS n
 FROM documents GROUP BY 1
 """

@@ -94,8 +94,8 @@ SELECT CAST(doc_id AS VARCHAR) AS url,
        2 AS n_rows,
        2 AS n_cols,
        'market_data' AS table_type,
-       0.9 AS quality_score,
-       0.25 AS numeric_pct,
+       CAST(0.9 AS DOUBLE) AS quality_score,
+       CAST(0.25 AS DOUBLE) AS numeric_pct,
        'metric,value' || chr(10) || 'chars,' || CAST(n_chars AS VARCHAR)
          || chr(10) || 'lang,' || lang || chr(10) AS csv_text,
        md5('[["metric", "value"], ["chars", "' || CAST(n_chars AS VARCHAR)
