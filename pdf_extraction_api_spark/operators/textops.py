@@ -61,7 +61,15 @@ def _shingles(spark, sf) -> DataFrame:
     NO per-doc sort/window shuffle; the only shuffle is the distinct.
     """
     d = T(spark, sf, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    # materialize the token array as a COLUMN before the explode —
+    # inlining the filter(split(...)) expression into the transform
+    # lambda makes Catalyst re-evaluate it per element (no CSE across
+    # lambda captures in Generate): measured 5x slowdown.
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= SHINGLE)
+    toks = F.col("toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - SHINGLE),
         lambda i: F.concat_ws(
@@ -71,11 +79,8 @@ def _shingles(spark, sf) -> DataFrame:
             F.element_at(toks, i + 3),
         ),
     )
-    return (
-        d.filter(F.size(toks) >= SHINGLE)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toked.select(
+        "doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 _SHINGLES_SQL = f"""
