@@ -587,7 +587,111 @@ SELECT h, doc_id AS keeper_id FROM (
 """
 
 
+def aj_asof_join(spark, sf):
+    """As-of join (operator Spark lacks natively): each purchase event
+    matched to the latest prior 'view' by the same user. Composition of
+    existing ops: ranged equi join + per-left-row argmax window
+    (deterministic tiebreak ts DESC, event_id DESC). DuckDB also has a
+    native ASOF JOIN; the oracle uses the same window formulation so
+    tie handling is identical. At scale: sort-merge on (user_id, ts)
+    with the window riding the join's partitioning — one shuffle."""
+    e = T(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = p.join(
+        v, (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts")), "inner")
+    w = Window.partitionBy("p_id").orderBy(
+        F.desc("v_ts"), F.desc("v_id"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_id", F.col("v_id").alias("asof_view_id"))
+    )
+
+
+AJ_ASOF_SQL = """
+SELECT p_id, v_id AS asof_view_id FROM (
+  SELECT p.event_id AS p_id, v.event_id AS v_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rk
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+) WHERE rk = 1
+"""
+
+
+def a13_rollup(spark, sf):
+    """Hierarchical rollup totals (free from Catalyst, SURVEY §2.4
+    note) with grouping-set id."""
+    return (
+        T(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
+A13_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q3_shipping_topk(spark, sf):
+    """TPC-H Q3-shaped 3-way join → agg → top-k (the multi-join
+    reordering + TakeOrdered headline)."""
+    c = T(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01")
+    li = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),
+    "a13_rollup": (a13_rollup, A13_SQL),
+    "q3_shipping_topk": (q3_shipping_topk, Q3_SQL),
     "f1_min_size": (f1_min_size, F1_SQL),
     "f2_min_quality": (f2_min_quality, F2_SQL),
     "f4_validity": (f4_validity, F4_SQL),

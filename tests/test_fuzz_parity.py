@@ -1,0 +1,62 @@
+"""Property-based fuzz: engine kernel ⇔ refkernel byte-parity on
+arbitrary HTML-ish soup (far beyond the fixture families). Catches fast-
+scanner divergence from html.parser semantics on malformed input."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extraction_api_spark.kernel.batch import extract_one
+from refkernel.extract import extract_document
+
+_FRAGMENTS = st.sampled_from([
+    "<p>", "</p>", "<div>", "</div>", '<div class="nav">', "<li>",
+    "</li>", "<ul>", "</ul>", "<table>", '<table border="1">',
+    "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>", "</th>",
+    "<pre>", "</pre>", "<a href='/x'>", "</a>", "<nav>", "</nav>",
+    "<footer>", "</footer>", '<section data-page="2">', "</section>",
+    "<br/>", "<img src=x>", "<script>", "</script>", "<!-- c -->",
+    "<!DOCTYPE html>", "<![CDATA[x>y]]>", "<b>", "</b>", "<",
+    ">", "&", "&amp;", "&#65;", "&eacute;", "&bogus;", "&#xFF;",
+    "word", "123", "$1,234", "p < 0.05", "  ", "\n", "\t",
+    "some longer plain prose fragment here",
+    "mean std n= 42", "revenue profit", "1.0  2.0\n3.0  4.0\n",
+    "café", " ", "\x01", "</", "<//>", "<3",
+    "<p", "=\"", "'", '"',
+])
+
+
+@st.composite
+def html_soup(draw):
+    parts = draw(st.lists(_FRAGMENTS, min_size=0, max_size=60))
+    return "".join(parts)
+
+
+def _norm(res: dict) -> tuple:
+    return (
+        res["n_pages"], res["extracted_text"],
+        tuple(
+            tuple(sorted(
+                (k, tuple(map(tuple, v)) if k == "cells" else
+                 tuple(sorted(v.items())) if k == "metadata" else v)
+                for k, v in t.items()))
+            for t in res["tables"]),
+        tuple(tuple(sorted(s.items())) for s in res["spans"]),
+    )
+
+
+@settings(max_examples=400, deadline=None)
+@given(html_soup())
+def test_fuzz_engine_matches_refkernel(soup):
+    html = soup.encode("utf-8")
+    assert _norm(extract_one("u", html)) == _norm(
+        extract_document("u", html))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_fuzz_raw_bytes_never_crash_and_match(payload):
+    eng = extract_one("u", payload)
+    ref = extract_document("u", payload)
+    assert _norm(eng) == _norm(ref)
