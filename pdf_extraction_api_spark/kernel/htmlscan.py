@@ -66,7 +66,9 @@ def scan(s: str, model) -> None:
             chunk = s[i:lt]
             data(unescape(chunk) if "&" in chunk else chunk)
         c = s[lt + 1: lt + 2]
-        if c.isalpha():
+        # ASCII letters only — html.parser's starttagopen is [a-zA-Z];
+        # str.isalpha() would wrongly accept Unicode letters like 'º'
+        if "a" <= c <= "z" or "A" <= c <= "Z":
             m = _NAME.match(s, lt + 1)
             tag = m.group().lower()
             j = m.end()
