@@ -24,6 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> dict[str, tuple]:
+    from pdf_extraction_api_spark.operators.grouped import (
+        QUERIES as GROUPED_QUERIES,
+    )
     from pdf_extraction_api_spark.operators.kernelq import (
         QUERIES as KERNEL_QUERIES,
     )
@@ -45,7 +48,7 @@ def _registry() -> dict[str, tuple]:
 
     out: dict[str, tuple] = {}
     for group in (REL_QUERIES, SCALAR_QUERIES, TEXT_QUERIES, VEC_QUERIES,
-                  MM_QUERIES, KERNEL_QUERIES):
+                  MM_QUERIES, GROUPED_QUERIES, KERNEL_QUERIES):
         out.update(group)
     return out
 

@@ -382,8 +382,84 @@ GROUP BY doc_id
 """
 
 
+def tx_pii_scrub(spark, sf):
+    """PII scrubbing: regex redaction of emails + long digit runs
+    (standard pre-training hygiene; JVM regexp_replace, no Python)."""
+    d = T(spark, sf, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555123456"),
+        F.col("doc_id").cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            dirty, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>"),
+        r"\d{9,}", "<NUM>")
+    return d.select(
+        "doc_id", clean.alias("scrubbed"),
+        F.regexp_count(clean, F.lit("<EMAIL>")).alias("n_emails"))
+
+
+TX_PII_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555123456'
+                || CAST(doc_id AS VARCHAR),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+         '\d{9,}', '<NUM>', 'g') AS scrubbed,
+       len(regexp_extract_all(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555123456'
+                  || CAST(doc_id AS VARCHAR),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\d{9,}', '<NUM>', 'g'),
+         '<EMAIL>')) AS n_emails
+FROM documents
+"""
+
+
+def tx_vocab_topk(spark, sf):
+    """Corpus vocabulary: top-20 tokens by document frequency (the
+    token-stats sweep every corpus pipeline runs)."""
+    toks = (
+        T(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+            ).alias("token"),
+        )
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TX_VOCAB_SQL = r"""
+SELECT token, count(*) AS doc_freq FROM (
+  SELECT DISTINCT doc_id, unnest(list_filter(
+    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+  FROM documents)
+GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "tx_pii_scrub": (tx_pii_scrub, TX_PII_SQL),
+    "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),

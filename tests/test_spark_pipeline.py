@@ -148,6 +148,21 @@ def test_snapshot_catalog_resume(spark, tmp_path):
     assert final.select("url").distinct().count() == 200  # exactly once
 
 
+def test_sink_roundtrip_preserves_bytes(spark, tmp_path, golden_map):
+    """Full nested results written to parquet and re-read must still be
+    byte-identical per url (the sink is part of the invariant)."""
+    from pdf_extraction_api_spark.plans.extract import (
+        load_pages,
+        run_extraction,
+    )
+
+    out = str(tmp_path / "results.parquet")
+    run_extraction(load_pages(spark, PAGES)).write.parquet(out)
+    back = {r["url"]: _norm_row(r)
+            for r in spark.read.parquet(out).collect()}
+    assert back == golden_map
+
+
 def test_tables_view_and_stats(spark):
     from pdf_extraction_api_spark.plans.extract import (
         load_pages,
