@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip urls already committed (J4 anti-join)")
     ap.add_argument("--salt-partitions", type=int, default=None,
                     help="explicit url-hash salting for skewed layouts")
+    ap.add_argument("--arrow-batch", type=int, default=256,
+                    help="max docs per Arrow batch — lower it for "
+                         "corpora with multi-MB documents so a batch "
+                         "of html payloads stays within executor memory")
     ap.add_argument("--stats", action="store_true",
                     help="print run statistics JSON to stdout")
     args = ap.parse_args(argv)
@@ -44,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = (
         SparkSession.builder.appName(f"spark-extract-{args.run_id}")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(args.arrow_batch))
         .getOrCreate()
     )
     cat = SnapshotCatalog(args.warehouse)
