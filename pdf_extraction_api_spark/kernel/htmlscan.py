@@ -72,21 +72,29 @@ def scan(s: str, model) -> None:
             m = _NAME.match(s, lt + 1)
             tag = m.group().lower()
             j = m.end()
-            # quote-aware scan for the closing '>'
-            while j < n:
-                ch = s[j]
-                if ch == ">":
-                    break
-                if ch == "=":
-                    j += 1
-                    while j < n and s[j] in " \t\n\r\f":
+            # fast path: no quotes before the next '>' → it closes the
+            # tag (C-speed find + slice scan instead of per-char loop)
+            gt = s.find(">", j)
+            if gt < 0:
+                j = n
+            elif "'" not in s[j:gt] and '"' not in s[j:gt]:
+                j = gt
+            else:
+                # quote-aware scan for the closing '>'
+                while j < n:
+                    ch = s[j]
+                    if ch == ">":
+                        break
+                    if ch == "=":
                         j += 1
-                    if j < n and s[j] in "\"'":
-                        q = s.find(s[j], j + 1)
-                        j = n if q < 0 else q + 1
+                        while j < n and s[j] in " \t\n\r\f":
+                            j += 1
+                        if j < n and s[j] in "\"'":
+                            q = s.find(s[j], j + 1)
+                            j = n if q < 0 else q + 1
+                            continue
                         continue
-                    continue
-                j += 1
+                    j += 1
             if j >= n:  # unterminated tag at EOF → treated as text
                 chunk = s[lt:]
                 data(unescape(chunk) if "&" in chunk else chunk)

@@ -189,15 +189,20 @@ class DocModel(HTMLParser):
         self._stack.append((tag, boiler, page_before))
 
     def handle_endtag(self, tag):
-        idx = None
-        for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i][0] == tag:
-                idx = i
-                break
-        if idx is None:
-            return
-        page_before = self._stack[idx][2]
-        del self._stack[idx:]
+        st = self._stack
+        if st and st[-1][0] == tag:  # well-formed fast path
+            page_before = st[-1][2]
+            st.pop()
+        else:
+            idx = None
+            for i in range(len(st) - 1, -1, -1):
+                if st[i][0] == tag:
+                    idx = i
+                    break
+            if idx is None:
+                return
+            page_before = st[idx][2]
+            del st[idx:]
         if tag in _SKIP:
             self._skip = max(0, self._skip - 1)
             return

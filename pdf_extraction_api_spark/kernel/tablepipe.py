@@ -26,7 +26,25 @@ from .lexicon import (
 
 _WS = re.compile(r"\s+")
 _NUMERIC = re.compile(r"^-?\d+\.?\d*$")
-_PATTERNS_C = {t: [re.compile(p) for p in ps] for t, ps in PATTERNS.items()}
+
+_META = set(".^$*+?{}[]()|\\")
+
+
+def _compile_counters(patterns):
+    """Split patterns into (literals → str.count) and (regexes →
+    findall with capturing groups made non-capturing — same match
+    count, no per-match tuple allocation)."""
+    literals, regexes = [], []
+    for p in patterns:
+        if not _META.intersection(p):
+            literals.append(p)
+        else:
+            regexes.append(
+                re.compile(re.sub(r"(?<!\\)\((?!\?)", "(?:", p)))
+    return literals, regexes
+
+
+_PATTERNS_C = {t: _compile_counters(ps) for t, ps in PATTERNS.items()}
 _UNITS_C = [(p, re.compile(r"\b" + p + r"\b", re.I)) for p in UNIT_PATTERNS]
 _TICKER = re.compile(r"\b[A-Z]{1,5}\b(?:\.[A-Z]{2})?")
 _FISCAL = [
@@ -35,7 +53,7 @@ _FISCAL = [
     re.compile(r"(\d{1,2}/\d{1,2}/\d{2,4})\s*-\s*(\d{1,2}/\d{1,2}/\d{2,4})"),
 ]
 _PVAL = re.compile(r"p\s*[<=]\s*0\.\d+")
-_ERRBAR = re.compile(_PATTERNS_C["scientific_data"][0].pattern)
+_ERRBAR = re.compile(re.escape(PATTERNS["scientific_data"][0]))
 _CI = re.compile(r"(CI|confidence\s*interval)", re.I)
 
 _WEIGHTS = (0.3, 0.2, 0.2, 0.2, 0.1)
@@ -147,7 +165,10 @@ def classify_grid(grid: list[list[str]]) -> tuple[str, dict[str, str]]:
                 score += 2
             if kw in headers:
                 score += 3
-        for rx in _PATTERNS_C[ttype]:
+        literals, regexes = _PATTERNS_C[ttype]
+        for lit in literals:
+            score += 2 * lowered.count(lit)
+        for rx in regexes:
             score += 2 * len(rx.findall(lowered))
         if score > best_score:
             best_type, best_score = ttype, score
@@ -197,18 +218,17 @@ def grid_hash(grid: list[list[str]]) -> str:
         json.dumps(grid, sort_keys=True).encode()).hexdigest()
 
 
-_CSV_SPECIAL = (",", '"', "\n", "\r")
+_CSV_SPECIAL = re.compile(r'[,"\n\r]')
 
 
 def _csv(rows: list[list[str]]) -> bytes:
+    special = _CSV_SPECIAL.search
     parts = []
     for row in rows:
-        fields = []
-        for c in row:
-            if any(ch in c for ch in _CSV_SPECIAL):
-                fields.append('"' + c.replace('"', '""') + '"')
-            else:
-                fields.append(c)
+        fields = [
+            '"' + c.replace('"', '""') + '"' if special(c) else c
+            for c in row
+        ]
         parts.append(",".join(fields))
     return ("\n".join(parts) + "\n").encode("utf-8")
 
