@@ -170,8 +170,115 @@ WHERE list_dot_product(a.embedding, b.embedding)
 """
 
 
+def ann_ivf_probe(spark, sf):
+    """Full IVF: learn centroids (per-dim avg by label), assign each
+    query to its nearest centroid by cosine, probe ONLY that cluster's
+    candidates for top-k. At 100 TB this is the production ANN shape:
+    the centroid table broadcasts, candidates are co-partitioned by
+    centroid id, and the probe is a partition-pruned equi join — the
+    brute-force cross join never happens."""
+    e = T(spark, sf, "embeddings")
+    dims = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
+    # assign: nearest centroid by cosine (argmax over broadcast table)
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id", "q_v", "q_norm", "c_label",
+            (_cosine("q_v", "cvec")
+             / (F.col("q_norm")
+                * F.sqrt(F.aggregate(
+                    F.col("cvec"), F.lit(0.0),
+                    lambda a, x: a + x * x)))).alias("ccos"),
+        )
+    )
+    w_assign = Window.partitionBy("q_id").orderBy(
+        F.desc("ccos"), F.asc("c_label"))
+    assigned = (
+        qc.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("q_id", "q_v", "q_norm",
+                F.col("c_label").alias("probe_label"))
+    )
+    c = _with_norm(e, "embedding", "c")
+    scored = (
+        assigned.join(
+            c, (F.col("probe_label") == F.col("c_label"))
+            & (F.col("q_id") != F.col("c_id")))
+        .select(
+            "q_id", "probe_label", "c_id",
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("q_id", "probe_label", "rank",
+                F.col("c_id").alias("neighbor_id"),
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+ANN_IVF_PROBE_SQL = f"""
+WITH dims AS (
+  SELECT label, pos AS dim, CAST(embedding[pos + 1] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS pos) t),
+cent AS (
+  SELECT label AS c_label,
+         list(c ORDER BY dim) AS cvec
+  FROM (SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim)
+  GROUP BY label),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+assigned AS (
+  SELECT q_id, qv, c_label AS probe_label FROM (
+    SELECT q_id, qv, c_label,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY list_dot_product(qv, cvec)
+                      / (sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cvec, cvec))) DESC,
+                      c_label ASC) AS rk
+    FROM q, cent)
+  WHERE rk = 1),
+scored AS (
+  SELECT q_id, probe_label, e.vec_id AS c_id,
+         list_dot_product(qv, e.embedding)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+  FROM assigned JOIN embeddings e
+    ON e.label = probe_label AND e.vec_id <> q_id)
+SELECT q_id, probe_label, rank, c_id AS neighbor_id,
+       CAST(round(cos, 4) AS DOUBLE) AS cos_sim
+FROM (SELECT q_id, probe_label, c_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
+    "ann_ivf_probe": (ann_ivf_probe, ANN_IVF_PROBE_SQL),
     "dd_embed_cosine": (dd_embed_cosine, DD_EMBED_SQL),
 }
