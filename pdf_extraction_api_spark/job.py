@@ -18,17 +18,6 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
-    from pyspark.sql import SparkSession
-
-    from pdf_extraction_api_spark.plans.extract import (
-        audit_metrics,
-        load_pages,
-        resume_filter,
-        run_extraction,
-        run_stats,
-    )
-    from pdf_extraction_api_spark.sources.catalog import SnapshotCatalog
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
     ap.add_argument("--warehouse", required=True)
@@ -44,6 +33,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stats", action="store_true",
                     help="print run statistics JSON to stdout")
     args = ap.parse_args(argv)
+
+    # imports AFTER argparse: a bad invocation should print usage, not
+    # a Spark/module traceback (spark-submit sets sys.path[0] to the
+    # script dir, so these imports require --py-files engine.zip)
+    from pyspark.sql import SparkSession
+
+    from pdf_extraction_api_spark.plans.extract import (
+        audit_metrics,
+        load_pages,
+        resume_filter,
+        run_extraction,
+        run_stats,
+    )
+    from pdf_extraction_api_spark.sources.catalog import SnapshotCatalog
 
     spark = (
         SparkSession.builder.appName(f"spark-extract-{args.run_id}")
