@@ -91,7 +91,6 @@ def ensure_corpus(spark, n_docs: int, seed: int = 42) -> str:
     out = CACHE_ROOT / f"pages_n{n_docs}_s{seed}.parquet"
     if (out / "_SUCCESS").exists():
         return str(out)
-    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         BinaryType, StringType, StructField, StructType, TimestampType,
     )

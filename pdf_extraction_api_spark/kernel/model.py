@@ -15,7 +15,6 @@ from .lexicon import BOILER_CLASS_TOKENS, BOILER_TAGS
 
 _WS = re.compile(r"\s+")
 _GAP = re.compile(r" {2,}")
-_NONWS = re.compile(r"\S")
 
 _SKIP = frozenset({"script", "style", "noscript", "template", "svg",
                    "head"})

@@ -26,7 +26,6 @@ map-side; candidate verification joins only the LSH survivors.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from .relational import T
 

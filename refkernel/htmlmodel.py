@@ -18,7 +18,7 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-from .textnorm import modal_count, norm_text
+from .textnorm import norm_text
 
 SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "head"}
 BLOCK_TAGS = {

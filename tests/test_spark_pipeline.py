@@ -4,7 +4,6 @@ across parallelism levels."""
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pytest
