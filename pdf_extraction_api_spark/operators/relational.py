@@ -688,7 +688,60 @@ ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+def ev_sessionize(spark, sf):
+    """Sessionization: lag + cumulative-sum window (frame-spec window,
+    the one window shape §2.5 noted as unused by the reference — added
+    as part of the events-pipeline surface). New session when the gap
+    to the previous event of the same user exceeds 30 minutes."""
+    e = T(spark, sf, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (a seconds cast truncates; the oracle's
+    # epoch_us must see identical values at the 30-min boundary)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet: NTZ
+    gap = us - F.lag(us).over(w_user)
+    with_new = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_new.withColumn(
+        "session_no", F.sum("is_new").over(w_cum))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+EV_SESSION_SQL = """
+SELECT user_id, session_no, count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS session_value
+FROM (
+  SELECT user_id, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000
+                OR lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events))
+GROUP BY user_id, session_no
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),
     "a13_rollup": (a13_rollup, A13_SQL),
     "q3_shipping_topk": (q3_shipping_topk, Q3_SQL),
