@@ -147,6 +147,36 @@ def test_snapshot_catalog_resume(spark, tmp_path):
     assert final.select("url").distinct().count() == 200  # exactly once
 
 
+def test_spark_path_matches_refkernel_fresh_seed(spark, tmp_path):
+    """Byte-equality on a corpus that is NOT the committed golden one
+    (seed 7, generated now): guards the Spark/Arrow transport against
+    overfitting to the fixed fixture bytes."""
+    from fixtures.gen_pages import gen_rows, write_parquet
+    from refkernel import extract_document
+
+    pages_path = str(tmp_path / "pages_seed7.parquet")
+    write_parquet(pages_path, 150, seed=7)
+    expected = {}
+    for r in gen_rows(150, seed=7):
+        res = extract_document(r["url"], r["html"])
+        expected[r["url"]] = _norm_row_like(res)
+    got = _collect_results(spark, pages_path)
+    assert set(got) == set(expected)
+    bad = [u for u in expected if got[u] != expected[u]]
+    assert bad == [], bad[:3]
+
+
+def _norm_row_like(res: dict) -> tuple:
+    """refkernel dict → same normal form as _norm_row over Spark rows."""
+    return (
+        res["n_pages"],
+        res["extracted_text"],
+        tuple(_norm_table(t) for t in res["tables"]),
+        tuple((s["kind"], s["page"], s["start"], s["end"])
+              for s in res["spans"]),
+    )
+
+
 def test_sink_roundtrip_preserves_bytes(spark, tmp_path, golden_map):
     """Full nested results written to parquet and re-read must still be
     byte-identical per url (the sink is part of the invariant)."""
