@@ -695,13 +695,16 @@ def ev_sessionize(spark, sf):
     to the previous event of the same user exceeds 30 minutes."""
     e = T(spark, sf, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap (a seconds cast truncates; the oracle's
-    # epoch_us must see identical values at the 30-min boundary)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet: NTZ
-    gap = us - F.lag(us).over(w_user)
+    # interval arithmetic on the NTZ column: microsecond-exact AND
+    # session-timezone independent (an epoch cast would shift with the
+    # session tz and could flip the boundary across DST transitions)
+    prev = F.lag("ts").over(w_user)
     with_new = e.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        F.when(
+            prev.isNull()
+            | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
+        ).otherwise(0))
     w_cum = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -729,9 +732,9 @@ FROM (
            AS session_no
   FROM (
     SELECT user_id, ts, event_id, value,
-           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                  PARTITION BY user_id ORDER BY ts, event_id)
-                  > 1800 * 1000000
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
                 OR lag(ts) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_new
