@@ -743,8 +743,57 @@ GROUP BY user_id, session_no
 """
 
 
+def q5_local_supplier(spark, sf):
+    """TPC-H Q5-shaped 6-way join (region⋈nation⋈customer⋈supplier⋈
+    orders⋈lineitem): dimension chain broadcasts, fact joins shuffle on
+    their keys, revenue by nation. Exercises join reordering across the
+    full star schema."""
+    r = T(spark, sf, "region")
+    n = T(spark, sf, "nation")
+    c = T(spark, sf, "customer")
+    s = T(spark, sf, "supplier")
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    dim = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dim), F.col("s_nationkey") == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM region, nation, customer, supplier, orders, lineitem
+WHERE n_regionkey = r_regionkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND o_custkey = c_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),
     "a13_rollup": (a13_rollup, A13_SQL),
     "q3_shipping_topk": (q3_shipping_topk, Q3_SQL),
