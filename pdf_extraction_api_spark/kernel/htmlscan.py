@@ -1,55 +1,216 @@
-"""Fast HTML scanner — drop-in event source for DocModel.
+"""Fast HTML scanner — exact event source for DocModel.
 
-stdlib ``html.parser`` costs ~70 % of kernel time (regex-per-token +
-position bookkeeping we never use). This scanner emits the same event
-stream (lowercased start/end tags, charref-decoded data, start+end for
-self-closing tags, comments/decls/PIs skipped, script/style as rawtext)
-for the tolerant-HTML subset that matters, with two fast paths:
+stdlib ``html.parser`` costs a large share of kernel time (feed/close
+re-buffering, ``updatepos`` line counting, ``interesting`` dispatch,
+attribute parsing + unescaping for every tag). This scanner is a
+single-pass, whole-document reimplementation of
+``HTMLParser.goahead(end=1)`` with ``convert_charrefs=True`` that emits
+the *identical* event stream (start/end/data; comments/decls/PIs are
+no-ops for DocModel) while skipping the bookkeeping DocModel never
+observes:
 
-- attribute chunks are only *parsed* when they can matter to the model
-  (``class`` / ``border`` / ``data-page`` substrings present);
-- ``html.unescape`` runs only when ``&`` is present in a chunk.
+- no ``updatepos``/``getpos`` line tracking;
+- attribute tuples are only *built* when the raw attr chunk could
+  matter to DocModel (``class`` / ``border`` / ``data-page``
+  substrings) — the attrfind walk still runs so tag/data boundaries
+  are exact;
+- ``html.unescape`` is only called when ``&`` is present (it
+  early-outs anyway, this skips the call overhead).
 
-Equivalence with the stdlib parser is enforced by
-tests/test_htmlscan.py (generated corpora across seeds + adversarial
-malformed cases, byte-compared through the full kernel against
+Exactness strategy: every tokenization decision reuses the *stdlib's
+own compiled regexes* (``locatestarttagend_tolerant``,
+``tagfind_tolerant``, ``attrfind_tolerant``, ``endtagfind``,
+``commentclose``, ``_markupbase`` marked-section patterns), and the
+control flow mirrors ``html.parser.HTMLParser.goahead`` /
+``parse_starttag`` / ``parse_endtag`` / ``parse_html_declaration`` /
+``_markupbase.parse_marked_section`` line for line, including the
+EOF-recovery path (incomplete construct → data up to the next ``>``,
+else next ``<``, else one char, charref-unescaped) and the CDATA rule
+that an unterminated <script>/<style> tail is never flushed.
+
+One html.parser behavior needs a convention: ``parse_marked_section``
+*raises AssertionError* on ``<![`` with a missing/unknown status
+keyword (e.g. ``<![x]>``). refkernel catches that and stops parsing at
+the offending construct (refkernel/htmlmodel.py:parse_html); this
+scanner returns at the same position, so both kernels emit identical
+events for such documents.
+
+Equivalence is enforced by tests/test_htmlscan.py (corpora + NASTY
+adversarial cases) and tests/test_fuzz_parity.py (hypothesis soup +
+raw-bytes fuzz, byte-compared through the full kernel against
 refkernel, which stays on html.parser).
 """
 
 from __future__ import annotations
 
+import _markupbase as _mb
 import re
+from html import parser as _hp
 from html import unescape
 
-_NAME = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
-_ENDNAME = re.compile(r"[a-zA-Z][-.a-zA-Z0-9:_]*")
-_ATTR = re.compile(
-    r"([^\s/>][^\s/=>]*)(?:\s*=+\s*"
-    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?"
-)
-_RAWTEXT = {"script", "style"}
-_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+# stdlib's own compiled tokenizer regexes — reusing them (instead of
+# copying the patterns) guarantees the scanner cannot drift from
+# html.parser semantics across CPython patch versions.
+_LOCATE = _hp.locatestarttagend_tolerant
+_TAGFIND = _hp.tagfind_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_ENDTAGFIND = _hp.endtagfind
+_COMMENTCLOSE = _hp.commentclose
+_DECLNAME_MATCH = _mb._declname_match
+_MARKEDCLOSE = _mb._markedsectionclose
+_MSMARKEDCLOSE = _mb._msmarkedsectionclose
+
+_RAWTEXT = ("script", "style")  # HTMLParser.CDATA_CONTENT_ELEMENTS
+# html.parser.set_cdata_mode: rawtext ends only at a full </tag\s*>
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _RAWTEXT
+}
+# check_for_whole_start_tag: chars after locatestarttagend that mean
+# "end of input in or before attribute value" → incomplete
+_INCOMPLETE_NEXT = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 # attr substrings the DocModel can react to (lexicon class tokens are
 # checked against the raw class value, so 'class' gates all of them)
 _INTERESTING_ATTRS = ("class", "border", "data-page")
+# _markupbase.parse_marked_section status keywords
+_STD_SECTIONS = frozenset({"temp", "cdata", "ignore", "include",
+                           "rcdata"})
+_MS_SECTIONS = frozenset({"if", "else", "endif"})
+
+_INCOMPLETE = -1  # construct unterminated at EOF → recovery path
+_CRASH = -2       # html.parser would raise AssertionError here
 
 
-def _parse_attrs(chunk: str) -> list[tuple[str, str | None]]:
-    attrs = []
-    for m in _ATTR.finditer(chunk):
-        name = m.group(1).lower()
-        val = m.group(2)
-        if val is not None:
-            if val[:1] in "\"'" and val[:1] == val[-1:]:
-                val = val[1:-1]
-            if "&" in val:
-                val = unescape(val)
-        attrs.append((name, val))
-    return attrs
+def _recover(s: str, i: int, data) -> int:
+    """goahead's end-of-input recovery for an incomplete construct:
+    emit data up to (and including) the next '>', else up to the next
+    '<', else one char — charref-unescaped — and resume there."""
+    k = s.find(">", i + 1)
+    if k < 0:
+        k = s.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    chunk = s[i:k]
+    data(unescape(chunk) if "&" in chunk else chunk)
+    return k
+
+
+def _marked_section(s: str, lt: int, n: int) -> int:
+    """_markupbase.parse_marked_section semantics for '<![' at lt.
+    Returns end position, _INCOMPLETE, or _CRASH (html.parser raises
+    AssertionError on a missing/unknown status keyword)."""
+    j = lt + 3
+    if j == n:  # _scan_name: i == n → incomplete
+        return _INCOMPLETE
+    m = _DECLNAME_MATCH(s, j)
+    if not m:
+        return _CRASH
+    if m.end() == n:  # _scan_name: name runs to end of buffer
+        return _INCOMPLETE
+    name = m.group().strip().lower()
+    if name in _STD_SECTIONS:
+        m2 = _MARKEDCLOSE.search(s, j)   # ]\s*]\s*>
+    elif name in _MS_SECTIONS:
+        m2 = _MSMARKEDCLOSE.search(s, j)  # ]\s*>
+    else:
+        return _CRASH
+    return _INCOMPLETE if m2 is None else m2.end()
+
+
+def _starttag(s: str, lt: int, data, start, end):
+    """parse_starttag + check_for_whole_start_tag, verbatim.
+    Returns (new_pos, cdata_tag|None); new_pos == _INCOMPLETE → the
+    caller runs the recovery path."""
+    m = _LOCATE.match(s, lt)
+    j = m.end()
+    nxt = s[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if s.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return _INCOMPLETE, None
+    elif nxt == "":
+        return _INCOMPLETE, None
+    elif nxt in _INCOMPLETE_NEXT:
+        return _INCOMPLETE, None
+    else:
+        # bogus char right after the tag head: parse_starttag will
+        # emit the raw slice as data (j > lt always: _LOCATE consumed
+        # at least '<' + one name char)
+        endpos = j
+    mt = _TAGFIND.match(s, lt + 1)
+    tag = mt.group(1).lower()
+    k = mt.end()
+    if k == j and nxt == ">":
+        # fast path '<name>' / '<name  >': attrfind cannot match at k
+        # (its lookbehind needs quote/space/slash; tagfind consumed
+        # exactly the chars before '>')
+        start(tag, [])
+        return endpos, (tag if tag in _RAWTEXT else None)
+    # attrfind walk — always runs (it fixes the tag/data decision),
+    # but tuples are only built when DocModel could observe them
+    lowchunk = s[k:endpos].lower()
+    want = ("class" in lowchunk or "border" in lowchunk
+            or "data-page" in lowchunk)
+    attrs: list[tuple[str, str | None]] = []
+    while k < endpos:
+        ma = _ATTRFIND.match(s, k)
+        if not ma:
+            break
+        if want:
+            attrname, rest, attrvalue = ma.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif (attrvalue[:1] == "'" == attrvalue[-1:]
+                  or attrvalue[:1] == '"' == attrvalue[-1:]):
+                attrvalue = attrvalue[1:-1]
+            if attrvalue:
+                attrvalue = unescape(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+        k = ma.end()
+    end_chunk = s[k:endpos].strip()
+    if end_chunk not in (">", "/>"):
+        # desynced tag (e.g. '<p\x00>'): raw slice as data, resume
+        # right after it — handle_data is NOT unescaped here
+        data(s[lt:endpos])
+        return endpos, None
+    if end_chunk == "/>":
+        start(tag, attrs)
+        end(tag)
+        return endpos, None
+    start(tag, attrs)
+    return endpos, (tag if tag in _RAWTEXT else None)
+
+
+def _endtag(s: str, lt: int, end) -> int:
+    """parse_endtag (non-CDATA path), verbatim."""
+    gtm = s.find(">", lt + 1)  # endendtag
+    if gtm < 0:
+        return _INCOMPLETE
+    m = _ENDTAGFIND.match(s, lt)  # </ \s* name \s* >
+    if m:
+        end(m.group(1).lower())
+        return gtm + 1
+    nm = _TAGFIND.match(s, lt + 2)
+    if not nm:
+        if s.startswith("</>", lt):
+            return lt + 3  # no event
+        # parse_bogus_comment (handle_comment is a DocModel no-op)
+        pos = s.find(">", lt + 2)
+        if pos < 0:  # unreachable: gtm >= lt + 2 exists
+            return _INCOMPLETE
+        return pos + 1
+    end(nm.group(1).lower())
+    # '>' always exists past nm.end(): the name class excludes '>'
+    return s.find(">", nm.end()) + 1
 
 
 def scan(s: str, model) -> None:
-    """Feed `s` to model.handle_starttag/handle_endtag/handle_data."""
+    """Feed `s` to model.handle_starttag/handle_endtag/handle_data,
+    emitting exactly html.parser's (feed + close) event stream."""
     data = model.handle_data
     start = model.handle_starttag
     end = model.handle_endtag
@@ -59,96 +220,58 @@ def scan(s: str, model) -> None:
         lt = s.find("<", i)
         if lt < 0:
             chunk = s[i:]
-            if chunk:
-                data(unescape(chunk) if "&" in chunk else chunk)
-            break
+            data(unescape(chunk) if "&" in chunk else chunk)
+            return
         if lt > i:
             chunk = s[i:lt]
             data(unescape(chunk) if "&" in chunk else chunk)
         c = s[lt + 1: lt + 2]
-        # ASCII letters only — html.parser's starttagopen is [a-zA-Z];
-        # str.isalpha() would wrongly accept Unicode letters like 'º'
+        # ASCII letters only — html.parser's starttagopen is [a-zA-Z]
         if "a" <= c <= "z" or "A" <= c <= "Z":
-            m = _NAME.match(s, lt + 1)
-            tag = m.group().lower()
-            j = m.end()
-            # fast path: no quotes before the next '>' → it closes the
-            # tag (C-speed find + slice scan instead of per-char loop)
-            gt = s.find(">", j)
-            if gt < 0:
-                j = n
-            elif "'" not in s[j:gt] and '"' not in s[j:gt]:
-                j = gt
-            else:
-                # quote-aware scan for the closing '>'
-                while j < n:
-                    ch = s[j]
-                    if ch == ">":
-                        break
-                    if ch == "=":
-                        j += 1
-                        while j < n and s[j] in " \t\n\r\f":
-                            j += 1
-                        if j < n and s[j] in "\"'":
-                            q = s.find(s[j], j + 1)
-                            j = n if q < 0 else q + 1
-                            continue
-                        continue
-                    j += 1
-            if j >= n:  # unterminated tag at EOF → treated as text
-                chunk = s[lt:]
-                data(unescape(chunk) if "&" in chunk else chunk)
-                break
-            attr_chunk = s[m.end():j]
-            self_closing = attr_chunk.rstrip().endswith("/")
-            if attr_chunk and any(
-                    k in attr_chunk.lower() for k in _INTERESTING_ATTRS):
-                attrs = _parse_attrs(
-                    attr_chunk.rstrip().rstrip("/")
-                    if self_closing else attr_chunk)
-            else:
-                attrs = []
-            start(tag, attrs)
-            if self_closing:
-                end(tag)
-            i = j + 1
-            if tag in _RAWTEXT and not self_closing:
-                close = s.lower().find(f"</{tag}", i)
-                if close < 0:
-                    data(s[i:])
-                    break
-                data(s[i:close])
-                gt = s.find(">", close)
-                end(tag)
-                i = n if gt < 0 else gt + 1
+            i, cdata = _starttag(s, lt, data, start, end)
+            if i < 0:
+                i = _recover(s, lt, data)
+            elif cdata is not None:
+                # CDATA mode: content raw (never unescaped), ends only
+                # at a full </tag\s*> ; an unterminated tail is NEVER
+                # flushed (goahead: cdata break + final-emit guard)
+                m2 = _CDATA_CLOSE[cdata].search(s, i)
+                if m2 is None:
+                    return
+                if m2.start() > i:
+                    data(s[i:m2.start()])
+                end(cdata)
+                i = m2.end()
         elif c == "/":
-            m = _ENDNAME.match(s, lt + 2)
-            gt = s.find(">", lt + 2)
-            if gt < 0:
-                chunk = s[lt:]
-                data(unescape(chunk) if "&" in chunk else chunk)
-                break
-            if m is not None:
-                end(m.group().lower())
-            i = gt + 1
+            i = _endtag(s, lt, end)
+            if i < 0:
+                i = _recover(s, lt, data)
         elif c == "!":
             if s.startswith("<!--", lt):
-                close = s.find("-->", lt + 4)
-                i = n if close < 0 else close + 3
+                m2 = _COMMENTCLOSE.search(s, lt + 4)  # --\s*>
+                i = _recover(s, lt, data) if m2 is None else m2.end()
             elif s.startswith("<![", lt):
-                # marked section (e.g. <![CDATA[..]]>): closes at ]]>
-                m = _MARKED_CLOSE.search(s, lt + 3)
-                if m is not None:
-                    i = m.end()
-                else:
-                    gt = s.find(">", lt + 3)
-                    i = n if gt < 0 else gt + 1
+                k = _marked_section(s, lt, n)
+                if k == _CRASH:
+                    # html.parser raises AssertionError; refkernel
+                    # catches it and stops parsing — match that.
+                    return
+                i = _recover(s, lt, data) if k < 0 else k
+            elif s[lt:lt + 9].lower() == "<!doctype":
+                gt = s.find(">", lt + 9)
+                i = _recover(s, lt, data) if gt < 0 else gt + 1
             else:
+                # parse_bogus_comment (handle_comment is a no-op)
                 gt = s.find(">", lt + 2)
-                i = n if gt < 0 else gt + 1
+                i = _recover(s, lt, data) if gt < 0 else gt + 1
         elif c == "?":
+            # parse_pi (handle_pi is a DocModel no-op)
             gt = s.find(">", lt + 2)
-            i = n if gt < 0 else gt + 1
-        else:
+            i = _recover(s, lt, data) if gt < 0 else gt + 1
+        elif c == "":
+            # lone '<' at EOF: goahead breaks, final flush emits it
             data("<")
+            return
+        else:
+            data("<")  # raw single char, then resume as text
             i = lt + 1

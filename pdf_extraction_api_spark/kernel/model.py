@@ -270,8 +270,14 @@ def parse_document(html: bytes) -> DocModel:
         text = html.decode("latin-1")
     m = DocModel()
     if _USE_STDLIB:
-        m.feed(text)
-        m.close()
+        try:
+            m.feed(text)
+            m.close()
+        except AssertionError:
+            # html.parser raises on malformed marked sections
+            # ('<![x]>'); parsing stops there — same convention as
+            # htmlscan._marked_section and refkernel parse_html.
+            pass
     else:
         from .htmlscan import scan
 

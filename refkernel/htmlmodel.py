@@ -290,8 +290,17 @@ def parse_html(html: bytes) -> tuple[list[tuple], int]:
     except UnicodeDecodeError:
         text = html.decode("latin-1")
     p = _ModelParser()
-    p.feed(text)
-    p.close()
+    try:
+        p.feed(text)
+        p.close()
+    except AssertionError:
+        # html.parser raises on marked sections with a missing or
+        # unknown status keyword (e.g. '<![x]>' —
+        # _markupbase.parse_marked_section). Semantics: parsing stops
+        # at the offending construct; events emitted so far stand.
+        # The engine's fast scanner returns at the same position
+        # (kernel/htmlscan.py:_marked_section), keeping byte-parity.
+        pass
     # flush any trailing open structures
     while p.tables:
         p._close_table()

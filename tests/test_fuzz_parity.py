@@ -4,7 +4,7 @@ scanner divergence from html.parser semantics on malformed input."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pdf_extraction_api_spark.kernel.batch import extract_one
@@ -56,6 +56,12 @@ def test_fuzz_engine_matches_refkernel(soup):
 
 @settings(max_examples=150, deadline=None)
 @given(st.binary(max_size=400))
+@example(payload=b"<!")  # round-1 discovered failure (VERDICT.md #1)
+@example(payload=b"<?")
+@example(payload=b"<![")
+@example(payload=b"<!--")
+@example(payload=b"</tab")
+@example(payload=b"<table border=1/>x")
 def test_fuzz_raw_bytes_never_crash_and_match(payload):
     eng = extract_one("u", payload)
     ref = extract_document("u", payload)

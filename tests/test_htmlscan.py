@@ -48,6 +48,49 @@ NASTY = [
     b"<pre>col a      col b\n1.0      2.0\n3.0      4.0</pre>",
     # empty attr chunk whitespace
     b"<p   >Spaced tag content paragraph long enough here.</p>",
+    # --- regression corpus: html.parser divergences found round 1 ---
+    # unterminated declarations / comments / PIs at EOF (hypothesis
+    # found b'<!': html.parser emits the remainder as data)
+    b"<!",
+    b"<!-",
+    b"<!--",
+    b"<!-- truncated comment",
+    b"<![",
+    b"<![CDATA[ truncated",
+    b"<?php truncated",
+    b"</",
+    b"</div",
+    b"<!DOCTYPE html",
+    # '-- >' closes a comment (commentclose is --\s*>), '<!-->' doesn't
+    b"<!-- x -- >visible tail text long enough to keep here.",
+    b"<!-->after bogus comment, visible text long enough here.",
+    # bare attr value ending in '/': NOT self-closing (attrfind eats
+    # the '/' into the value) — the whole table must survive
+    b"<table border=1/><tr><td>a</td><td>b</td></tr>"
+    b"<tr><td>c</td><td>d</td></tr></table>",
+    b'<section data-page=3/><p>Paragraph on page three long enough'
+    b" here.</p></section>",
+    # disallowed byte cuts the tag head: '<p' becomes data
+    b"<p\x00>text after nul tag long enough to keep here okay.",
+    # '</ p>' IS an end tag (endtagfind allows \s after '</')
+    b"<p>Before the spaced close tag long enough here.</ p>after",
+    # end tag with junk before '>': name is taken, rest ignored
+    b"<p>Content here long enough to keep.</p attr='x'>tail",
+    # end tag name with non-name char: html.parser takes 'p@' (tagfind
+    # is broad), not 'p'
+    b"<p>Content paragraph long enough to keep here.</p@>tail",
+    # rawtext: '</scriptx>' and '</script foo>' do NOT close a script
+    b"<script>a</scriptx>b</script>c visible tail long enough here.",
+    b"<script>a</script foo>b</script>c visible tail long enough.",
+    # rawtext: '</ script >' DOES close it
+    b"<script>hidden</ script >visible text long enough to keep.",
+    # unterminated rawtext tail is never flushed
+    b"<p>Kept paragraph long enough here.</p><script>dropped tail",
+    # unterminated start tag mid-soup: recovery chunks at '<'/'>'
+    b"<p class='x' <div>weird nested open tag text long enough.</div>",
+    b"<div cla &amp; entity inside unterminated tag no close",
+    # MS marked sections close at ]>
+    b"<![if x]>conditional body long enough here.<![endif]>tail",
 ]
 
 
