@@ -173,7 +173,10 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
             d.write.format("noop").mode("overwrite").save()
 
         run()  # cold run: codegen + footer reads + broadcast build
-        times[name] = _timed(run)  # steady-state
+        # min-of-2 steady-state reps: this VM's vCPU steal swings
+        # single-shot numbers up to 8x (round-1 driver bench read 4x
+        # below the recorded baseline); the min is the least-interfered
+        times[name] = min(_timed(run), _timed(run))
     return times
 
 
@@ -183,7 +186,11 @@ def default_bench() -> dict:
         warm = ensure_corpus(spark, 8000)
         corpus = ensure_corpus(spark, BENCH_DOCS)
         run_extraction_job(spark, warm)  # warm JVM + python workers
-        t_extract = _timed(lambda: run_extraction_job(spark, corpus))
+        # min-of-2 reps (same rationale as headline_queries / --scaling)
+        t_extract = min(
+            _timed(lambda: run_extraction_job(spark, corpus)),
+            _timed(lambda: run_extraction_job(spark, corpus)),
+        )
         docs_per_sec = round(BENCH_DOCS / t_extract, 1)
         queries = {"extract_corpus": t_extract}
         queries.update(headline_queries(spark, SF_DIR))
@@ -197,6 +204,12 @@ def default_bench() -> dict:
             "extract_docs": BENCH_DOCS,
             "extract_docs_per_sec": docs_per_sec,
             "cpus": CPUS,
+            "reps": 2,
+            # host-noise context: pure-CPU (no Spark) scaling between
+            # the two --scaling widths, measured right now. Compare a
+            # surprising bench number against BENCH/BASELINE.md history
+            # before reading it as a regression.
+            "machine_cpu_ceiling": machine_cpu_ceiling(*SCALE_LEVELS),
         }
     finally:
         spark.stop()

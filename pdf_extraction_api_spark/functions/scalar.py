@@ -82,13 +82,17 @@ def c7_units_filter(spark, sf):
         lambda p: F.regexp_like(
             F.col("text"), F.concat(F.lit(r"\b"), p, F.lit(r"\b"))),
     )
-    return d.select("doc_id", units.alias("units"))
+    # joined to a plain string: the driver's hash harness cannot
+    # canonicalize ARRAY columns (round-1 CORRECTNESS failure)
+    return d.select("doc_id", F.array_join(units, ",").alias("units"))
 
 
 C7_SQL = r"""
 SELECT doc_id,
-       list_filter(['key', 'agg', 'row', 'scan', 'merge'],
-                   p -> regexp_matches(text, '\b' || p || '\b')) AS units
+       coalesce(array_to_string(
+         list_filter(['key', 'agg', 'row', 'scan', 'merge'],
+                     p -> regexp_matches(text, '\b' || p || '\b')),
+         ','), '') AS units
 FROM documents
 """
 
@@ -154,16 +158,21 @@ def c9_tickers(spark, sf):
         ),
         1, 10,
     )
-    return p.select("p_partkey", cleaned.alias("tickers"))
+    # joined to a plain string: the driver's hash harness cannot
+    # canonicalize ARRAY columns (round-1 CORRECTNESS failure)
+    return p.select("p_partkey",
+                    F.array_join(cleaned, ",").alias("tickers"))
 
 
 C9_SQL = r"""
 SELECT p_partkey,
-       list_sort(list_distinct(
-         list_filter(
-           regexp_extract_all(p_type || ' ' || upper(p_name) || ' USD CEO',
-                              '\b[A-Z]{1,5}\b'),
-           t -> t NOT IN ('USD', 'EUR', 'CEO', 'CFO'))))[1:10] AS tickers
+       coalesce(array_to_string(
+         list_sort(list_distinct(
+           list_filter(
+             regexp_extract_all(p_type || ' ' || upper(p_name) || ' USD CEO',
+                                '\b[A-Z]{1,5}\b'),
+             t -> t NOT IN ('USD', 'EUR', 'CEO', 'CFO'))))[1:10],
+         ','), '') AS tickers
 FROM part
 """
 
@@ -192,6 +201,21 @@ def c11_md5(spark, sf):
 
 
 C11_SQL = "SELECT doc_id, md5(substring(text, 1, 16)) AS h FROM documents"
+
+
+def c12_base64(spark, sf):
+    """C12 base64 encode fallback for payload transport
+    (ref main.py:398-399)."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 48).cast("binary")).alias("b64"))
+
+
+C12_SQL = """
+SELECT doc_id, to_base64(encode(substring(text, 1, 48))) AS b64
+FROM documents
+"""
 
 
 def c13_format_string(spark, sf):
@@ -375,6 +399,7 @@ QUERIES = {
     "c9_tickers": (c9_tickers, C9_SQL),
     "c10_numeric_rlike": (c10_numeric_rlike, C10_SQL),
     "c11_md5": (c11_md5, C11_SQL),
+    "c12_base64": (c12_base64, C12_SQL),
     "c13_format_string": (c13_format_string, C13_SQL),
     "c14_date_format": (c14_date_format, C14_SQL),
     "c15_exhibit_regex": (c15_exhibit_regex, C15_SQL),

@@ -14,6 +14,7 @@ Deterministic: run twice with --resume and the second run is a no-op.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -63,20 +64,24 @@ def main(argv: list[str] | None = None) -> int:
         if committed is not None:
             pages = resume_filter(pages, committed)
 
+    # emptiness probe on the INPUT (kernel is 1 row in → 1 row out):
+    # a scan limit-1 is cheap; probing the kernel output would run the
+    # Python kernel just to discover there is nothing to do
+    if pages.limit(1).count() == 0:
+        print("nothing to do (all urls committed)")
+        return 0
+
     results = run_extraction(
         pages, salt_partitions=args.salt_partitions, with_lineage=True)
     results = results.cache()  # one kernel pass feeds both sinks
     try:
-        if results.limit(1).count() == 0:
-            print("nothing to do (all urls committed)")
-            return 0
         cat.append(results.drop("partition_id", "bytes_in", "kernel_us"),
                    "results", run_id=args.run_id)
         cat.append(audit_metrics(results, args.run_id), "audit",
                    run_id=args.run_id)
         if args.stats:
             row = run_stats(results).collect()[0]
-            print(row.asDict())
+            print(json.dumps(row.asDict(recursive=True), default=str))
     finally:
         results.unpersist()
     return 0

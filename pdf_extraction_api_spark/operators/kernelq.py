@@ -137,12 +137,14 @@ FROM documents
 
 def flagship(spark, sf):
     """Per-lang rollup of kernel output: doc count, extracted volume,
-    table count (the entry() smoke query)."""
-    r = _results(spark, sf)
-    pages = pages_from_documents(spark, sf).select("url", "lang")
+    table count (the entry() smoke query). `lang` rides the kernel's
+    Arrow batch (run_extraction carry=) — no join back to the scan, so
+    at corpus scale the rollup is scan → kernel → one hash agg."""
+    r = run_extraction(
+        pages_from_documents(spark, sf), with_lineage=False,
+        carry=("lang",))
     return (
-        r.join(F.broadcast(pages), "url")
-        .groupBy("lang")
+        r.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tables").alias("n_tables"),

@@ -136,8 +136,14 @@ def _frame_batches(
 
 
 def mm_frame_sample(spark, sf):
-    return _payloads(spark, sf).mapInPandas(
+    # frame bytes surfaced as an md5 hex digest: the binary plumbing
+    # (BinaryType through Arrow, 1→k row expansion) stays real, but
+    # the query's output columns are plain strings the driver's hash
+    # harness can canonicalize.
+    df = _payloads(spark, sf).mapInPandas(
         _frame_batches, schema=_FRAME_SCHEMA)
+    return df.select("doc_id", "frame_no",
+                     F.md5("frame_bytes").alias("frame_md5"))
 
 
 QUERIES = {

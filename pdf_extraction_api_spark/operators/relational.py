@@ -391,6 +391,30 @@ FROM events
 """
 
 
+def a9_empty_pct(spark, sf):
+    """A9 empty-cell percentage: (NULL + '') share over extracted
+    values — same shape as A8 (ref
+    enterprise_table_extractor_full.py:946-953)."""
+    e = T(spark, sf, "events")
+    v = F.get_json_object("props", "$.k")
+    return e.agg(
+        F.round(
+            F.avg(
+                F.when(v.isNull() | (v == ""), 1.0).otherwise(0.0)
+            ), 6
+        ).alias("empty_pct")
+    )
+
+
+A9_SQL = """
+SELECT CAST(round(avg(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                             OR json_extract_string(props, '$.k') = ''
+                           THEN 1.0 ELSE 0.0 END), 6)
+            AS DOUBLE) AS empty_pct
+FROM events
+"""
+
+
 def a10_type_consistency(spark, sf):
     """A10 per-column type-consistency: share of groups whose indicator
     rate is >80% or <20% (two-level aggregation)."""
@@ -816,6 +840,7 @@ QUERIES: dict[str, tuple] = {
     "a6_mode": (a6_mode, A6_SQL),
     "a7_completeness": (a7_completeness, A7_SQL),
     "a8_numeric_pct": (a8_numeric_pct, A8_SQL),
+    "a9_empty_pct": (a9_empty_pct, A9_SQL),
     "a10_type_consistency": (a10_type_consistency, A10_SQL),
     "a11_grand_totals": (a11_grand_totals, A11_SQL),
     "w1_row_number": (w1_row_number, W1_SQL),

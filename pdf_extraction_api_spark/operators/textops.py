@@ -16,21 +16,32 @@ no Python in the hot path) with DuckDB oracles:
 Portability notes: the hash primitive is md5 (identical in Spark and
 DuckDB — Spark's xxhash64/hash are JVM-specific so they never appear in
 an oracle-checked result); min-over-md5-hex is a valid uniform minhash
-because md5 is uniform on its hex-string order.
+because md5 is uniform on its hex-string order. dd_minhash_num projects
+the same md5 to a BIGINT (first 15 hex digits) so the band agg is a
+HashAggregate instead of a SortAggregate.
 
 Scale notes: every op is a shuffle-on-key aggregation/join; LSH bands
-bound the self-join fan-out (no O(n²) pairs); shingle explode is
-map-side; candidate verification joins only the LSH survivors.
+bound the self-join fan-out (no O(n²) pairs) and oversized band buckets
+(boilerplate-identical corpora) are capped at LSH_BUCKET_CAP docs so no
+single signature can square; shingle construction is map-side;
+candidate verification (dd_ngram_jaccard) joins shingles ONLY for the
+LSH survivor pairs, never all-docs × all-docs; tx_fingerprint is a
+zero-shuffle map (array_min over a transform — no per-position explode).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .relational import T
 
 N_BANDS = 4
 SHINGLE = 3
+# Max docs per (band, signature) bucket: a viral boilerplate signature
+# otherwise yields |bucket|² candidate pairs. Exact duplicates are the
+# job of dd_exact (cheap hash agg) — LSH only needs to catch NEAR-dups,
+# so dropping mega-buckets is the standard trade.
+LSH_BUCKET_CAP = 64
 
 
 def _tokens(spark, sf) -> DataFrame:
@@ -112,13 +123,11 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def dd_minhash_lsh(spark, sf):
-    """MinHash+LSH candidate pairs: per (doc, band) signature =
-    min(md5(band:shingle)); docs sharing any band signature are
-    candidates. The band join bounds fan-out at scale (no O(n²))."""
+def _band_keys(spark, sf) -> DataFrame:
+    """(doc_id, key) — one LSH band key per (doc, band): key =
+    band|min(md5(band:shingle)). All band minima come from ONE
+    map-side-combinable hash agg (no ×bands row blowup pre-shuffle)."""
     sh = _shingles(spark, sf)
-    # all band minima in ONE map-side-combinable hash agg (no ×bands
-    # row blowup before the shuffle), then unpivot to (doc, band, sig)
     sigs_wide = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws(":", F.lit(str(b)), "shingle"))).alias(
@@ -126,7 +135,7 @@ def dd_minhash_lsh(spark, sf):
             for b in range(N_BANDS)
         ]
     )
-    sigs = sigs_wide.select(
+    return sigs_wide.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -136,8 +145,23 @@ def dd_minhash_lsh(spark, sf):
             ])
         ).alias("bs"),
     ).select("doc_id", F.concat_ws("|", "bs.band", "bs.sig").alias("key"))
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+
+
+def dd_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs: docs sharing any band signature are
+    candidates. Buckets larger than LSH_BUCKET_CAP are dropped before
+    the self-join (a viral boilerplate signature would otherwise emit
+    |bucket|² pairs); the bucket-count window rides the same hash
+    partitioning the join needs, so the cap adds no extra shuffle."""
+    sigs = _band_keys(spark, sf)
+    capped = (
+        sigs.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("key")))
+        .filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+        .drop("bucket_n")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(b, F.col("a.key") == F.col("b.key"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -149,33 +173,75 @@ def dd_minhash_lsh(spark, sf):
     )
 
 
+_CAPPED_SIGS_SQL = f"""
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           count(*) OVER (PARTITION BY band, sig) AS bucket_n
+    FROM (
+      SELECT doc_id, band,
+             min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      FROM shingles, bands GROUP BY doc_id, band))
+  WHERE bucket_n <= {LSH_BUCKET_CAP}
+"""
+
 DD_MINHASH_SQL = f"""
 WITH shingles AS ({_SHINGLES_SQL}),
 bands AS (SELECT unnest(range({N_BANDS})) AS band),
-sigs AS (
-  SELECT doc_id, band,
-         min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-  FROM shingles, bands GROUP BY doc_id, band)
+sigs AS ({_CAPPED_SIGS_SQL})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sigs a JOIN sigs b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
 
 
+def dd_minhash_num(spark, sf):
+    """Numeric MinHash band signatures: the same md5 minhash projected
+    to BIGINT (first 15 hex digits, 60 bits) so the per-band min is a
+    HashAggregate, not the SortAggregate that min-over-string forces.
+    This is the scale path; dd_minhash_lsh's string variant stays as
+    the cross-checked candidate generator."""
+    sh = _shingles(spark, sf)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(
+                            ":", F.lit(str(b)), "shingle")), 1, 15),
+                    16, 10,
+                ).cast("long")
+            ).alias(f"sig{b}")
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+DD_MINHASH_NUM_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL})
+SELECT doc_id,
+  {", ".join(
+    "min(CAST('0x' || substring(md5(CAST(%d AS VARCHAR) || ':' || shingle),"
+    " 1, 15) AS BIGINT)) AS sig%d" % (b, b)
+    for b in range(N_BANDS))}
+FROM shingles GROUP BY doc_id
+"""
+
+
 def dd_ngram_jaccard(spark, sf):
-    """n-gram Jaccard similarity for every doc pair sharing >=5
-    shingles (verification stage of the dedup pipeline)."""
+    """n-gram Jaccard verification of the LSH candidates: exact
+    similarity computed ONLY for dd_minhash_lsh survivor pairs (join
+    candidates → their shingles), never the full shingle-shingle
+    self-join — at corpus scale that would be O(Σ df²) on common
+    shingles. Pairs sharing >= 5 shingles are emitted."""
+    cand = dd_minhash_lsh(spark, sf)
     sh = _shingles(spark, sf)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
         .filter(F.col("inter") >= 5)
     )
@@ -197,12 +263,19 @@ def dd_ngram_jaccard(spark, sf):
 
 DD_JACCARD_SQL = f"""
 WITH shingles AS ({_SHINGLES_SQL}),
+bands AS (SELECT unnest(range({N_BANDS})) AS band),
+sigs AS ({_CAPPED_SIGS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5)
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b HAVING count(*) >= 5)
 SELECT doc_a, doc_b,
        CAST(round(inter / (sa.n + sb.n - inter), 6) AS DOUBLE) AS jaccard
 FROM inter
@@ -362,15 +435,18 @@ FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
 
 def tx_fingerprint(spark, sf):
     """Document fingerprint: min md5 over all 8-char windows (rolling-
-    hash winnowing, one representative hash per doc)."""
+    hash winnowing, one representative hash per doc).
+
+    Zero-shuffle map: array_min over a transform of the window
+    positions — NOT a per-position explode + groupBy, which would
+    materialize ~len(text) rows per doc through an Exchange
+    (tests/test_operators_smoke.py asserts the plan has no Exchange).
+    """
     d = T(spark, sf, "documents").filter(F.length("text") >= 8)
-    pos = d.select(
-        "doc_id", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("p"),
-    )
-    grams = pos.select(
-        "doc_id", F.md5(F.expr("substring(text, p, 8)")).alias("g"))
-    return grams.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
+    fp = F.expr(
+        "array_min(transform(sequence(1, length(text) - 7),"
+        " p -> md5(substring(text, p, 8))))")
+    return d.select("doc_id", fp.alias("fingerprint"))
 
 
 TX_FINGERPRINT_SQL = """
@@ -460,6 +536,7 @@ QUERIES = {
     "tx_pii_scrub": (tx_pii_scrub, TX_PII_SQL),
     "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_minhash_num": (dd_minhash_num, DD_MINHASH_NUM_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "tx_langid_argmax": (tx_langid_argmax, TX_LANGID_SQL),

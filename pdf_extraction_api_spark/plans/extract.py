@@ -51,35 +51,49 @@ KERNEL_SCHEMA = StructType(
 _RESULT_COLS = [f.name for f in RESULT_SCHEMA.fields]
 
 
-def _kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
-    from pyspark import TaskContext
+def _make_kernel(carry: tuple[str, ...]):
+    """Kernel closure; `carry` columns ride the Arrow batch unchanged
+    (1 row in → 1 row out, so passthrough is positional) — lets
+    downstream rollups group on input attributes (e.g. lang) with NO
+    post-kernel join."""
 
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
-    for pdf in batches:
-        rows: dict[str, list] = {c: [] for c in _RESULT_COLS}
-        rows["partition_id"] = []
-        rows["bytes_in"] = []
-        rows["kernel_us"] = []
-        for url, html in zip(pdf["url"].values, pdf["html"].values):
-            t0 = time.perf_counter_ns()
-            try:
-                res = extract_one(url, html)
-            except Exception as exc:  # one bad doc never kills the task
-                res = {
-                    "url": url, "n_pages": 0, "extracted_text": b"",
-                    "tables": [], "spans": [], "n_tables": 0,
-                    "n_content_spans": 0,
-                    "error": f"{type(exc).__name__}: {exc}",
-                }
-            for c in _RESULT_COLS:
-                rows[c].append(res[c])
-            rows["partition_id"].append(pid)
-            rows["bytes_in"].append(len(html) if html is not None else 0)
-            rows["kernel_us"].append(
-                (time.perf_counter_ns() - t0) // 1000)
-        yield pd.DataFrame(rows)
+    def _kernel(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in _RESULT_COLS}
+            rows["partition_id"] = []
+            rows["bytes_in"] = []
+            rows["kernel_us"] = []
+            for url, html in zip(pdf["url"].values, pdf["html"].values):
+                t0 = time.perf_counter_ns()
+                try:
+                    res = extract_one(url, html)
+                except Exception as exc:  # one bad doc never kills a task
+                    res = {
+                        "url": url, "n_pages": 0, "extracted_text": b"",
+                        "tables": [], "spans": [], "n_tables": 0,
+                        "n_content_spans": 0,
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
+                for c in _RESULT_COLS:
+                    rows[c].append(res[c])
+                rows["partition_id"].append(pid)
+                rows["bytes_in"].append(
+                    len(html) if html is not None else 0)
+                rows["kernel_us"].append(
+                    (time.perf_counter_ns() - t0) // 1000)
+            out = pd.DataFrame(rows)
+            for c in carry:
+                out[c] = pdf[c].values
+            yield out
+
+    return _kernel
 
 
 def load_pages(spark: SparkSession, path: str) -> DataFrame:
@@ -103,13 +117,20 @@ def run_extraction(
     *,
     salt_partitions: int | None = None,
     with_lineage: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """pages(url, html, ...) → extraction results (one row per url)."""
-    src = pages.select("url", "html")
+    """pages(url, html, ...) → extraction results (one row per url).
+
+    `carry` names extra pages columns to pass through the kernel
+    unchanged (e.g. ("lang",)) so per-attribute rollups need no join
+    back to the scan."""
+    src = pages.select("url", "html", *carry)
     if salt_partitions:
         # explicit skew defusal for pathological input layouts
         src = src.repartition(salt_partitions, F.xxhash64("url"))
-    out = src.mapInPandas(_kernel, schema=KERNEL_SCHEMA)
+    schema = StructType(
+        KERNEL_SCHEMA.fields + [pages.schema[c] for c in carry])
+    out = src.mapInPandas(_make_kernel(carry), schema=schema)
     if not with_lineage:
         out = out.drop("partition_id", "bytes_in", "kernel_us")
     return out

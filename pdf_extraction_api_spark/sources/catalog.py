@@ -56,8 +56,20 @@ class SnapshotCatalog:
         ]
 
     def append(self, df: DataFrame, table: str, run_id: str) -> dict:
-        """Write data files, then commit atomically via manifest rename."""
+        """Write data files, then commit atomically via manifest rename.
+
+        Idempotent per run_id: re-appending an already-committed run_id
+        (the foreachBatch crash-replay path — a batch that committed
+        but wasn't checkpointed is re-run with the same batch id) is a
+        no-op returning the existing manifest. Without this, the
+        mode("overwrite") below would delete the part files the earlier
+        manifest references and dangle every subsequent read().
+        """
         tdir = self._tdir(table)
+        for m in self._manifests(table):
+            info = json.loads(m.read_text())
+            if info["run_id"] == run_id:
+                return info
         data_dir = tdir / "data" / run_id
         df.write.mode("overwrite").parquet(str(data_dir))
         files = sorted(

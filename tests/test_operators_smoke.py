@@ -53,3 +53,35 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert {"lang", "n_docs", "n_tables", "extracted_chars"} == set(
         rows[0].asDict())
+
+
+def test_fingerprint_plan_has_no_exchange(spark):
+    """tx_fingerprint must be a zero-shuffle map (array_min over a
+    transform) — the per-position explode + groupBy it replaces pushed
+    ~len(text) rows per doc through an Exchange."""
+    from pdf_extraction_api_spark.operators.textops import tx_fingerprint
+
+    plan = (tx_fingerprint(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_lsh_bucket_cap_bounds_hot_buckets(spark, tmp_path):
+    """1k identical docs form one mega-bucket per band; the cap must
+    drop it (exact dups are dd_exact's job) instead of emitting
+    |bucket|^2 ~ 500k candidate pairs."""
+    from pdf_extraction_api_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", 36, "boiler")
+         for i in range(1000)]
+        + [(2000, "alpha beta gamma delta DIFFERENT zeta", 37, "x"),
+           (2001, "alpha beta gamma delta DIFFERENT zeta maybe", 44, "x")],
+        "doc_id LONG, text STRING, n_chars LONG, source STRING",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = textops.dd_minhash_lsh(spark, str(tmp_path)).collect()
+    # the two near-dup docs still pair up; the 1000-identical bucket
+    # contributes nothing (cap) instead of ~499500 pairs
+    assert (2000, 2001) in {(r.doc_a, r.doc_b) for r in pairs}
+    assert len(pairs) < textops.LSH_BUCKET_CAP ** 2 * textops.N_BANDS

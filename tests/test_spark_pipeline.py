@@ -146,6 +146,15 @@ def test_snapshot_catalog_resume(spark, tmp_path):
     assert final.count() == 200
     assert final.select("url").distinct().count() == 200  # exactly once
 
+    # crash-replay: re-appending a committed run_id must be a no-op
+    # (the foreachBatch path re-runs a committed-but-not-checkpointed
+    # batch with the same id). Before the guard, the overwrite deleted
+    # run1's part files and every read() died with path-not-found.
+    m = cat.append(r1.limit(1), "results", run_id="run1")
+    assert m["run_id"] == "run1"
+    assert len(cat.committed_run_ids("results")) == 2  # no 3rd manifest
+    assert cat.read(spark, "results").count() == 200   # nothing dangles
+
 
 def test_spark_path_matches_refkernel_fresh_seed(spark, tmp_path):
     """Byte-equality on a corpus that is NOT the committed golden one
