@@ -45,10 +45,14 @@ def _registry() -> dict[str, tuple]:
     from pdf_extraction_api_spark.functions.scalar import (
         QUERIES as SCALAR_QUERIES,
     )
+    from pdf_extraction_api_spark.sources.binaryfiles import (
+        QUERIES as BIN_QUERIES,
+    )
 
     merged: dict[str, tuple] = {}
     for group in (REL_QUERIES, SCALAR_QUERIES, TEXT_QUERIES, VEC_QUERIES,
-                  MM_QUERIES, GROUPED_QUERIES, KERNEL_QUERIES):
+                  MM_QUERIES, GROUPED_QUERIES, KERNEL_QUERIES,
+                  BIN_QUERIES):
         merged.update(group)
     # Emission order matters: round 1's driver gate recorded exactly 50
     # of 71 queries, and the 21 it never saw were the ones registered
@@ -57,7 +61,8 @@ def _registry() -> dict[str, tuple]:
     # the remainder were all driver-green in round 1.
     first = [n for n in merged
              if n in ("c7_units_filter", "c9_tickers")
-             or n.startswith(("dd_", "ann_", "tx_", "mm_", "ex", "vec_"))]
+             or n.startswith(("dd_", "ann_", "tx_", "mm_", "ex", "vec_",
+                              "s6_", "a9_", "c12_"))]
     out: dict[str, tuple] = {n: merged[n] for n in first}
     for n, v in merged.items():
         out.setdefault(n, v)

@@ -228,10 +228,24 @@ def scan(s: str, model) -> None:
         c = s[lt + 1: lt + 2]
         # ASCII letters only — html.parser's starttagopen is [a-zA-Z]
         if "a" <= c <= "z" or "A" <= c <= "Z":
-            i, cdata = _starttag(s, lt, data, start, end)
-            if i < 0:
-                i = _recover(s, lt, data)
-            elif cdata is not None:
+            # fast path '<name>' (only ws/slash-not-before-'>' between
+            # name and '>'): tagfind consumes exactly what _LOCATE
+            # would (its attr group can't start after a name char), so
+            # endpos = k+1, attrs = [], end_chunk = '>' — one regex,
+            # no helper call. Anything else takes the verbatim path.
+            mt = _TAGFIND.match(s, lt + 1)
+            k = mt.end()
+            if k < n and s[k] == ">":
+                tag = mt.group(1).lower()
+                start(tag, [])
+                i = k + 1
+                cdata = tag if tag in _RAWTEXT else None
+            else:
+                i, cdata = _starttag(s, lt, data, start, end)
+                if i < 0:
+                    i = _recover(s, lt, data)
+                    continue
+            if cdata is not None:
                 # CDATA mode: content raw (never unescaped), ends only
                 # at a full </tag\s*> ; an unterminated tail is NEVER
                 # flushed (goahead: cdata break + final-emit guard)
@@ -243,9 +257,17 @@ def scan(s: str, model) -> None:
                 end(cdata)
                 i = m2.end()
         elif c == "/":
-            i = _endtag(s, lt, end)
-            if i < 0:
-                i = _recover(s, lt, data)
+            # fast path '</name>' / '</ name >': when endtagfind
+            # matches, the first '>' is the match's own '>' (the name
+            # class excludes '>'), so parse_endtag returns m.end()
+            m = _ENDTAGFIND.match(s, lt)
+            if m is not None:
+                end(m.group(1).lower())
+                i = m.end()
+            else:
+                i = _endtag(s, lt, end)
+                if i < 0:
+                    i = _recover(s, lt, data)
         elif c == "!":
             if s.startswith("<!--", lt):
                 m2 = _COMMENTCLOSE.search(s, lt + 4)  # --\s*>

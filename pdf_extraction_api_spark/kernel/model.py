@@ -26,12 +26,18 @@ _CONTAINER = frozenset({"div", "section", "article", "main", "body",
 
 
 def _norm(s: str) -> str:
+    # alnum strings contain no whitespace: sub+strip are no-ops, and
+    # one C isalnum call beats the regex machinery (hot: every span)
+    if s.isalnum():
+        return s
     return _WS.sub(" ", s).strip()
 
 
 def _nonws_count(s: str) -> int:
     """Non-whitespace char count — same \\s class as refkernel's
     findall(r'\\S') (Unicode-aware) but one C pass, no char list."""
+    if s.isalnum():
+        return len(s)
     return len(_WS.sub("", s))
 
 

@@ -1,0 +1,70 @@
+"""S6 — binaryFile glob source (SURVEY.md §2.1).
+
+The reference's PNG-glob fallback (`main.py:310-328`: glob("*.png")
+when metadata is missing, packaged by filename order) maps to Spark's
+built-in `binaryFile` data source: one row per file with (path,
+modificationTime, length, content BINARY), partitioned by file —
+at scale this is the standard way to ingest a directory tree of opaque
+blobs without a custom reader.
+
+For the oracle, the file tree is derived deterministically from the
+`documents` table (content = utf-8 text bytes of the first 64 docs),
+so DuckDB can reconstruct every output column from the table itself —
+the query exercises a REAL binaryFile scan whose results reconcile
+against an independent engine.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ..operators.relational import T
+
+_N_FILES = 64
+
+
+def _file_tree(spark, sf: str) -> Path:
+    """Deterministic on-disk blob tree for sf (built once, reused)."""
+    tag = sf.strip("/").replace("/", "_")
+    base = Path(tempfile.gettempdir()) / "spark_graft_bin" / tag
+    if not (base / "_DONE").exists():
+        base.mkdir(parents=True, exist_ok=True)
+        rows = (
+            T(spark, sf, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < _N_FILES)
+            .collect()  # 64 tiny rows: fixture construction, not the op
+        )
+        for r in rows:
+            p = base / f"doc_{r.doc_id:05d}.bin"
+            p.write_bytes(r.text.encode("utf-8"))
+        (base / "_DONE").write_text("ok")
+    return base
+
+
+def s6_binary_glob(spark, sf):
+    """S6: spark.read.format('binaryFile').load(glob) → per-file row
+    (id parsed from the filename, byte length, content md5)."""
+    base = _file_tree(spark, sf)
+    df = spark.read.format("binaryFile").load(str(base / "*.bin"))
+    return df.select(
+        F.regexp_extract("path", r"doc_(\d+)\.bin", 1)
+        .cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+S6_SQL = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < {_N_FILES}
+"""
+
+QUERIES = {
+    "s6_binary_glob": (s6_binary_glob, S6_SQL),
+}
