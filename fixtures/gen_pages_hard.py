@@ -1,0 +1,115 @@
+"""Adversarial `pages` corpus generator — malformed-crawl realism.
+
+A separate generator (NOT gen_pages: its (seed, doc_id) mapping feeds
+the committed golden fixtures and must stay frozen) that produces the
+HTML pathologies real Common-Crawl pages exhibit, to widen the
+byte-parity evidence beyond the clean fixture families:
+
+- deep nav/div nesting (20-40 levels), inline-style boilerplate
+- unterminated tags / comments / CDATA at arbitrary positions
+- bare attribute values ending in '/', NULs after tag names
+- rawtext traps ('</scriptx>', '</ script >', unterminated <script>)
+- charref soup (named/numeric/hex/missing-semicolon/bogus)
+- mixed-encoding bytes (utf-8 with stray latin-1 bytes → the kernel's
+  decode fallback path)
+- tables interrupted mid-row by crawler truncation
+
+Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
+byte-equality) — pure Python, no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import random
+
+_BOILER_CLASSES = ["nav-bar", "sidebar widget", "footer-links", "menu",
+                   "cookie-banner", "share-buttons", "ad-slot promo"]
+_WORDS = ("breaking update exclusive analysis deep dive report story "
+          "coverage economy election science health climate culture "
+          "review opinion interview feature investigation").split()
+_ENTITIES = ["&amp;", "&lt;", "&gt;", "&#65;", "&#x42;", "&eacute;",
+             "&bogus;", "&amp", "&#", "&"]
+_TRAPS = [
+    "<table border=1/>", "<section data-page=2/>", "<p\x00>",
+    "</ p>", "</p @junk>", "<!-- never closed", "<![CDATA[ cut",
+    "<?php trailing", "<div cla", "<!", "<//>", "<3 <",
+    "</scriptx>", "-- >", "<!-->",
+]
+
+
+def _prose(rng: random.Random, n: int) -> str:
+    words = []
+    for _ in range(n):
+        w = rng.choice(_WORDS)
+        if rng.random() < 0.12:
+            w += rng.choice(_ENTITIES)
+        words.append(w)
+    return " ".join(words)
+
+
+def _deep_nav(rng: random.Random) -> str:
+    depth = rng.randint(15, 40)
+    cls = rng.choice(_BOILER_CLASSES)
+    open_tags = "".join(
+        f'<div class="{cls} lvl{d}" style="margin:{d}px">'
+        for d in range(depth))
+    links = "".join(
+        f'<a href="/{w}">{w}</a> ' for w in rng.sample(_WORDS, 6))
+    return open_tags + links + "</div>" * rng.randint(0, depth + 3)
+
+
+def _trapped_table(rng: random.Random) -> str:
+    rows = []
+    for r in range(rng.randint(2, 6)):
+        cells = "".join(
+            f"<td>{rng.choice(_WORDS)} {rng.randint(0, 9999)}</td>"
+            for _ in range(3))
+        rows.append(f"<tr>{cells}</tr>")
+    body = "".join(rows)
+    if rng.random() < 0.4:  # crawler truncation mid-row
+        body = body[: rng.randint(len(body) // 2, len(body) - 1)]
+        return f'<table border="1">{body}'
+    return f'<table border="1">{body}</table>'
+
+
+def _rawtext_trap(rng: random.Random) -> str:
+    inner = f"if (a < {rng.randint(1, 99)}) x = '<p>no</p>';"
+    variant = rng.randrange(4)
+    if variant == 0:
+        return f"<script>{inner}</scriptx>leak?</script>"
+    if variant == 1:
+        return f"<script>{inner}</ script >"
+    if variant == 2:
+        return f"<style>p > a {{ color: red }}</style>"
+    return f"<script>{inner}"  # unterminated: tail must vanish
+
+
+def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
+    rng = random.Random((seed << 20) ^ doc_id)
+    parts = [rng.choice(["<!DOCTYPE html>", "<!doctype HTML >", ""])]
+    for _ in range(rng.randint(3, 10)):
+        kind = rng.randrange(6)
+        if kind == 0:
+            parts.append(_deep_nav(rng))
+        elif kind == 1:
+            parts.append(f"<p>{_prose(rng, rng.randint(8, 60))}</p>")
+        elif kind == 2:
+            parts.append(_trapped_table(rng))
+        elif kind == 3:
+            parts.append(_rawtext_trap(rng))
+        elif kind == 4:
+            parts.append(rng.choice(_TRAPS))
+        else:
+            parts.append(
+                f'<section data-page="{rng.randint(1, 4)}">'
+                f"<p>{_prose(rng, 20)}</p>"
+                + ("</section>" if rng.random() < 0.8 else ""))
+    html = "".join(parts).encode("utf-8")
+    if rng.random() < 0.15:  # stray non-utf8 byte → latin-1 fallback
+        cut = rng.randrange(max(1, len(html)))
+        html = html[:cut] + bytes([rng.randint(0x80, 0xFF)]) + html[cut:]
+    return {"url": f"https://hard.example/{doc_id:08d}", "html": html}
+
+
+def gen_hard_rows(n: int, seed: int = 1042) -> list[dict]:
+    return [gen_hard_row(i, seed) for i in range(n)]

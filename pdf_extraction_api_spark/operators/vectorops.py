@@ -24,6 +24,14 @@ from .relational import T
 K = 3
 N_QUERIES = 5
 SIM_THRESHOLD = 0.2
+# IVF probe width: how many nearest clusters each query scans. The
+# recall/cost dial — recall rises with N_PROBE, scan cost stays
+# N_PROBE/n_clusters of brute force. The driver's synthetic embeddings
+# are near-isotropic (within-label avg cos 0.008 vs cross 0.001), so
+# recall on THIS data is bounded by ~N_PROBE/n_labels regardless of
+# method; tests/test_ann_recall.py shows recall >= 0.9 on clusterable
+# data with the same operator.
+N_PROBE = 3
 
 
 def _with_norm(df: DataFrame, vec: str, prefix: str) -> DataFrame:
@@ -172,10 +180,11 @@ WHERE list_dot_product(a.embedding, b.embedding)
 
 def ann_ivf_probe(spark, sf):
     """Full IVF: learn centroids (per-dim avg by label), assign each
-    query to its nearest centroid by cosine, probe ONLY that cluster's
-    candidates for top-k. At 100 TB this is the production ANN shape:
-    the centroid table broadcasts, candidates are co-partitioned by
-    centroid id, and the probe is a partition-pruned equi join — the
+    query to its N_PROBE nearest centroids by cosine, probe ONLY those
+    clusters' candidates for top-k. At 100 TB this is the production
+    ANN shape: the centroid table broadcasts, candidates are
+    co-partitioned by centroid id, and the probe is a partition-pruned
+    equi join scanning N_PROBE/n_clusters of the corpus — the
     brute-force cross join never happens."""
     e = T(spark, sf, "embeddings")
     dims = e.select(
@@ -211,7 +220,7 @@ def ann_ivf_probe(spark, sf):
         F.desc("ccos"), F.asc("c_label"))
     assigned = (
         qc.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= N_PROBE)
         .select("q_id", "q_v", "q_norm",
                 F.col("c_label").alias("probe_label"))
     )
@@ -258,7 +267,7 @@ assigned AS (
                          * sqrt(list_dot_product(cvec, cvec))) DESC,
                       c_label ASC) AS rk
     FROM q, cent)
-  WHERE rk = 1),
+  WHERE rk <= {N_PROBE}),
 scored AS (
   SELECT q_id, probe_label, e.vec_id AS c_id,
          list_dot_product(qv, e.embedding)
