@@ -1,0 +1,382 @@
+"""Real image path: N1-N5 (SURVEY.md §2.8) over actual PNG payloads.
+
+The round-1 multimodal module stubbed the decode step because this
+container has no PIL/cv2 — but PNG is just zlib + filtered scanlines,
+so `kernel/png.py` (pure stdlib) decodes/encodes real images and the
+quality/edge/line/enhancement math runs in numpy over the decoded
+arrays, mirroring the reference's formulas:
+
+- N1 quality metrics — resolution buckets, Laplacian-variance
+  sharpness, stddev contrast, brightness distance, Gaussian-blur
+  noise, weighted 0.3/0.2/0.2/0.2/0.1
+  (ref enterprise_image_extractor.py:319-411)
+- N2 edge detection + density — PIL FIND_EDGES kernel analog
+  (ref enterprise_image_extractor.py:216-225, :109-111)
+- N3 table row/col estimation from line projections — the
+  HoughLinesP-count analog (ref enterprise_image_extractor.py:291-313)
+- N4 type-conditional enhancement (contrast/sharpness/brightness)
+  re-encoded to PNG (ref enterprise_image_extractor.py:416-445)
+- N5 OCR — stays a deterministic stub (tesseract/easyocr genuinely
+  absent; ref enterprise_image_extractor.py:450-471); import-try
+  upgrade path preserved.
+
+If Pillow is importable (real cluster), decode prefers it; the stdlib
+codec is the fallback. All queries here are rows-only for the driver
+(decode isn't SQL-expressible); value-level properties are pytest-
+checked against independently-computed numpy in tests/test_imageops.py.
+
+The image corpus is generated deterministically per doc_id inside the
+same mapInPandas pass (seeded numpy), so the whole pipeline —
+generate → encode → decode → metrics — exercises real Arrow-batched
+BINARY columns end-to-end at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .relational import T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+_KINDS = ("photograph", "chart", "table_image", "diagram", "screenshot")
+
+
+def _gen_image(doc_id: int):
+    """Deterministic synthetic image for doc_id: kind + uint8 array."""
+    import numpy as np
+
+    rng = np.random.default_rng(doc_id * 2654435761 % (1 << 32))
+    kind = _KINDS[doc_id % len(_KINDS)]
+    h, w = 48 + (doc_id * 13) % 48, 48 + (doc_id * 29) % 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == "photograph":  # smooth gradient + mild noise
+        img = (xx * 255 // max(w - 1, 1)
+               + rng.normal(0, 8, (h, w))).clip(0, 255)
+    elif kind == "chart":  # vertical bars on white
+        img = np.full((h, w), 240.0)
+        for b in range(4):
+            x0 = 4 + b * (w // 4)
+            bh = int(h * (0.3 + 0.15 * ((doc_id + b) % 4)))
+            img[h - bh:, x0:x0 + max(w // 8, 2)] = 30
+    elif kind == "table_image":  # ruled grid
+        img = np.full((h, w), 255.0)
+        img[:: max(h // 6, 2), :] = 0
+        img[:, :: max(w // 5, 2)] = 0
+    elif kind == "diagram":  # flat regions
+        img = np.full((h, w), 200.0)
+        img[h // 4: h // 2, w // 4: 3 * w // 4] = 90
+    else:  # screenshot: text-like horizontal strips + noise
+        img = np.full((h, w), 250.0)
+        img[:: 4, :] = 40
+        img += rng.normal(0, 20, (h, w))
+        img = img.clip(0, 255)
+    if doc_id % 3 == 0:  # a third are RGB
+        g = img.astype(np.uint8)
+        rgb = np.stack([g, (g * 0.9).astype(np.uint8),
+                        (g * 0.7).astype(np.uint8)], axis=2)
+        return kind, rgb
+    return kind, img.astype(np.uint8)
+
+
+_IMG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("img_kind", StringType()),
+    StructField("png", BinaryType()),
+])
+
+
+def image_payloads(spark, sf):
+    """(doc_id, img_kind, png BINARY) — deterministic PNG corpus keyed
+    by documents.doc_id (scales with sf; only doc_id is read)."""
+    ids = T(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import png as pngc
+
+        for pdf in batches:
+            kinds, blobs, out_ids = [], [], []
+            for doc_id in pdf["doc_id"].values:
+                kind, arr = _gen_image(int(doc_id))
+                kinds.append(kind)
+                blobs.append(pngc.encode(arr))
+                out_ids.append(int(doc_id))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "img_kind": kinds, "png": blobs})
+
+    return ids.mapInPandas(gen, schema=_IMG_SCHEMA)
+
+
+def _to_gray(arr):
+    """PIL convert('L') formula: ITU-R 601-2, integer truncation."""
+    import numpy as np
+
+    if arr.ndim == 2:
+        return arr.astype(np.float64)
+    r = arr[:, :, 0].astype(np.uint32)
+    g = arr[:, :, 1].astype(np.uint32)
+    b = arr[:, :, 2].astype(np.uint32)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.float64)
+
+
+def _conv3(gray, k):
+    """3x3 convolution, replicate-free interior view (edges dropped —
+    matches variance/mean statistics well enough for scoring)."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h < 3 or w < 3:
+        return np.zeros((1, 1))
+    out = np.zeros((h - 2, w - 2))
+    for dy in range(3):
+        for dx in range(3):
+            if k[dy][dx]:
+                out += k[dy][dx] * gray[dy:dy + h - 2, dx:dx + w - 2]
+    return out
+
+
+_LAPLACIAN = ((0, 1, 0), (1, -4, 1), (0, 1, 0))       # cv2.Laplacian ksize=1
+_FIND_EDGES = ((-1, -1, -1), (-1, 8, -1), (-1, -1, -1))  # PIL FIND_EDGES
+
+# 5-tap Gaussian, sigma = 1.1 (cv2.GaussianBlur (5,5),0 default sigma
+# = 0.3*((5-1)*0.5 - 1) + 0.8)
+_G5 = None
+
+
+def _gauss5():
+    global _G5
+    if _G5 is None:
+        import numpy as np
+
+        x = np.arange(-2, 3, dtype=np.float64)
+        k = np.exp(-(x * x) / (2 * 1.1 * 1.1))
+        _G5 = k / k.sum()
+    return _G5
+
+
+def _blur5(gray):
+    import numpy as np
+
+    k = _gauss5()
+    # separable 5-tap with edge replication
+    pad = np.pad(gray, 2, mode="edge")
+    tmp = sum(k[i] * pad[:, i:i + gray.shape[1]] for i in range(5))
+    return sum(k[i] * tmp[i:i + gray.shape[0], :] for i in range(5))
+
+
+def compute_metrics(arr) -> dict:
+    """N1+N2 metric block per the reference formulas."""
+    import numpy as np
+
+    gray = _to_gray(arr)
+    h, w = gray.shape
+    pixels = h * w
+    if pixels >= 1920 * 1080:
+        resolution = 1.0
+    elif pixels >= 1280 * 720:
+        resolution = 0.8
+    elif pixels >= 640 * 480:
+        resolution = 0.6
+    elif pixels >= 320 * 240:
+        resolution = 0.4
+    else:
+        resolution = 0.2
+    lap = _conv3(gray, _LAPLACIAN)
+    sharpness = min(float(lap.var()) / 1000.0, 1.0)
+    contrast = min(float(gray.std()) / 127.5, 1.0)
+    brightness = 1.0 - abs(float(gray.mean()) - 127.5) / 127.5
+    noise_level = float(np.abs(gray - _blur5(gray)).mean())
+    noise = max(1.0 - noise_level / 50.0, 0.0)
+    quality = (0.3 * resolution + 0.2 * sharpness + 0.2 * contrast
+               + 0.2 * brightness + 0.1 * noise)
+    edges = np.abs(_conv3(gray, _FIND_EDGES)).clip(0, 255)
+    edge_density = float(edges.mean()) / 255.0
+    return {
+        "width": w, "height": h,
+        "resolution_score": resolution, "sharpness": sharpness,
+        "contrast": contrast, "brightness": brightness, "noise": noise,
+        "quality_score": quality, "edge_density": edge_density,
+    }
+
+
+def estimate_lines(arr) -> tuple[int, int]:
+    """N3: ruled-line counts from edge-projection profiles (the
+    HoughLinesP horizontal/vertical line-count analog): a row/col is a
+    line when ≥60% of its edge profile is active."""
+    import numpy as np
+
+    gray = _to_gray(arr)
+    edges = np.abs(_conv3(gray, _FIND_EDGES))
+    if edges.size <= 1:
+        return 0, 0
+    act = edges > 64
+    rows = int(((act.mean(axis=1) >= 0.6)).sum())
+    cols = int(((act.mean(axis=0) >= 0.6)).sum())
+    return rows, cols
+
+
+def enhance(arr, kind: str):
+    """N4 type-conditional enhancement (numpy analog of PIL
+    ImageEnhance: contrast pivots on the gray mean, sharpness blends
+    against the blurred image, brightness scales)."""
+    import numpy as np
+
+    img = arr.astype(np.float64)
+
+    def _gray_mean(a):
+        return float(_to_gray(a.astype(np.uint8)).mean())
+
+    def _contrast(a, f):
+        return (_gray_mean(a) + f * (a - _gray_mean(a)))
+
+    def _sharpen(a, f):
+        if a.ndim == 2:
+            blurred = _blur5(a)
+        else:
+            blurred = np.stack(
+                [_blur5(a[:, :, c]) for c in range(a.shape[2])], axis=2)
+        return blurred + f * (a - blurred)
+
+    if kind in ("chart", "diagram", "table_image"):
+        img = _contrast(img, 1.5)
+        img = _sharpen(img, 2.0)
+    elif kind == "screenshot":
+        img = _sharpen(img, 1.3)
+    elif kind == "photograph":
+        m = _gray_mean(img)
+        if m < 100:
+            img = img * 1.2
+        elif m > 155:
+            img = img * 0.8
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def ocr_stub(arr, kind: str) -> str:
+    """N5 OCR stand-in: tesseract/easyocr absent here. Upgrade path:
+
+        try:
+            import pytesseract
+            return pytesseract.image_to_string(Image.fromarray(arr))
+        except ImportError:
+            ...
+
+    Deterministic fake keyed on content so has_text/classification
+    plumbing stays exercised."""
+    import numpy as np
+
+    gray = _to_gray(arr)
+    return f"{kind} text" if float(np.asarray(gray).std()) > 30 else ""
+
+
+_METRICS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("img_kind", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("quality_score", DoubleType()),
+    StructField("sharpness", DoubleType()),
+    StructField("contrast", DoubleType()),
+    StructField("brightness", DoubleType()),
+    StructField("noise", DoubleType()),
+    StructField("edge_density", DoubleType()),
+    StructField("est_rows", IntegerType()),
+    StructField("est_cols", IntegerType()),
+    StructField("has_text", StringType()),
+])
+
+
+def mm_image_metrics(spark, sf):
+    """N1-N3+N5 over real PNGs: decode (stdlib codec; PIL if present)
+    → numpy metrics. Rows-only for the driver; value properties are
+    pytest-checked."""
+    imgs = image_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import png as pngc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["img_kind"].values,
+                    pdf["png"].values):
+                arr = pngc.decode(bytes(blob))
+                m = compute_metrics(arr)
+                er, ec = estimate_lines(arr)
+                rows.append({
+                    "doc_id": int(doc_id), "img_kind": kind,
+                    "width": m["width"], "height": m["height"],
+                    "quality_score": round(m["quality_score"], 6),
+                    "sharpness": round(m["sharpness"], 6),
+                    "contrast": round(m["contrast"], 6),
+                    "brightness": round(m["brightness"], 6),
+                    "noise": round(m["noise"], 6),
+                    "edge_density": round(m["edge_density"], 6),
+                    "est_rows": er, "est_cols": ec,
+                    "has_text": "true" if ocr_stub(arr, kind) else "false",
+                })
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, schema=_METRICS_SCHEMA)
+
+
+_ENHANCE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("img_kind", StringType()),
+    StructField("orig_md5", StringType()),
+    StructField("enhanced_md5", StringType()),
+    StructField("changed", StringType()),
+])
+
+
+def mm_image_enhance(spark, sf):
+    """N4: decode → type-conditional enhance → re-encode PNG; output
+    digests so the driver's hash check stays on plain strings."""
+    imgs = image_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        from ..kernel import png as pngc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["img_kind"].values,
+                    pdf["png"].values):
+                blob = bytes(blob)
+                arr = pngc.decode(blob)
+                enh = pngc.encode(enhance(arr, kind))
+                rows.append({
+                    "doc_id": int(doc_id), "img_kind": kind,
+                    "orig_md5": hashlib.md5(blob).hexdigest(),
+                    "enhanced_md5": hashlib.md5(enh).hexdigest(),
+                    "changed": "true" if enh != blob else "false",
+                })
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, schema=_ENHANCE_SCHEMA)
+
+
+QUERIES = {
+    "mm_image_metrics": (mm_image_metrics, None),
+    "mm_image_enhance": (mm_image_enhance, None),
+}

@@ -35,8 +35,11 @@ def test_oracles_cover_queries(registry):
     queries, oracles = registry
     assert set(oracles) <= set(queries)
     rows_only = set(queries) - set(oracles)
-    # only genuinely non-SQL ops may skip the oracle
-    assert rows_only == {"mm_decode_stub", "mm_frame_sample"}
+    # only genuinely non-SQL ops may skip the oracle (image decode and
+    # batch-Python expansion aren't SQL-expressible; their values are
+    # property-tested in tests/test_imageops.py instead)
+    assert rows_only == {"mm_decode_stub", "mm_frame_sample",
+                         "mm_image_metrics", "mm_image_enhance"}
 
 
 @pytest.mark.parametrize("name", EXECUTE_SAMPLE)
