@@ -45,6 +45,9 @@ def _registry() -> dict[str, tuple]:
     from pdf_extraction_api_spark.functions.scalar import (
         QUERIES as SCALAR_QUERIES,
     )
+    from pdf_extraction_api_spark.operators.audioops import (
+        QUERIES as AUDIO_QUERIES,
+    )
     from pdf_extraction_api_spark.operators.imageops import (
         QUERIES as IMG_QUERIES,
     )
@@ -54,8 +57,8 @@ def _registry() -> dict[str, tuple]:
 
     merged: dict[str, tuple] = {}
     for group in (REL_QUERIES, SCALAR_QUERIES, TEXT_QUERIES, VEC_QUERIES,
-                  MM_QUERIES, IMG_QUERIES, GROUPED_QUERIES,
-                  KERNEL_QUERIES, BIN_QUERIES):
+                  MM_QUERIES, IMG_QUERIES, AUDIO_QUERIES,
+                  GROUPED_QUERIES, KERNEL_QUERIES, BIN_QUERIES):
         merged.update(group)
     # Emission order matters: round 1's driver gate recorded exactly 50
     # of 71 queries, and the 21 it never saw were the ones registered

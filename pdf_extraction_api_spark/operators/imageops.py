@@ -376,7 +376,76 @@ def mm_image_enhance(spark, sf):
     return imgs.mapInPandas(run, schema=_ENHANCE_SCHEMA)
 
 
+def resize(arr, out_h: int, out_w: int):
+    """Bilinear resize in numpy (the PIL Image.resize analog for the
+    pipeline's thumbnail/normalize step)."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    h, w = a.shape[:2]
+    if h == out_h and w == out_w:
+        return arr.copy()
+    ys = np.linspace(0, h - 1, out_h)
+    xs = np.linspace(0, w - 1, out_w)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    if a.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return (top * (1 - wy) + bot * wy).round().clip(0, 255).astype(
+        "uint8")
+
+
+_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("img_kind", StringType()),
+    StructField("src_w", IntegerType()),
+    StructField("src_h", IntegerType()),
+    StructField("thumb_md5", StringType()),
+])
+
+THUMB = 32
+
+
+def mm_image_resize(spark, sf):
+    """Thumbnail normalization: decode → bilinear resize to THUMB² →
+    re-encode (the pre-embedding image-normalize step of a training
+    pipeline); digests keep the output driver-hashable."""
+    imgs = image_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        from ..kernel import png as pngc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["img_kind"].values,
+                    pdf["png"].values):
+                arr = pngc.decode(bytes(blob))
+                th = resize(arr, THUMB, THUMB)
+                rows.append({
+                    "doc_id": int(doc_id), "img_kind": kind,
+                    "src_w": arr.shape[1], "src_h": arr.shape[0],
+                    "thumb_md5": hashlib.md5(
+                        pngc.encode(th)).hexdigest(),
+                })
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
 QUERIES = {
     "mm_image_metrics": (mm_image_metrics, None),
     "mm_image_enhance": (mm_image_enhance, None),
+    "mm_image_resize": (mm_image_resize, None),
 }

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are not in this container, so the
-decode step is a clearly-marked deterministic stub (`_fake_decode`) —
-but the Spark-side plumbing is real and tested: BinaryType columns,
+This module keeps the generic binary plumbing (BinaryType columns,
 mapInPandas batch shapes, typed metadata structs, frame-sampling UDTF
-expansion. Swap `_fake_decode` for PIL/cv2/ffmpeg calls on a cluster
-that has them; nothing else changes.
+expansion) with a deterministic decode stub (`_fake_decode`) for
+formats this container genuinely cannot decode. The REAL decode paths
+live next door: `operators/imageops.py` (pure-stdlib PNG codec + numpy
+metrics/enhance/resize) and `operators/audioops.py` (stdlib WAV decode
++ numpy features) — swap `_fake_decode` for PIL/cv2/ffmpeg on a
+cluster that has them; nothing else changes.
 
 mm_binary_meta has a full DuckDB oracle (pure byte-level ops);
 mm_decode_stub / mm_frame_sample are rows-only (Python batch logic).

@@ -39,7 +39,8 @@ def test_oracles_cover_queries(registry):
     # batch-Python expansion aren't SQL-expressible; their values are
     # property-tested in tests/test_imageops.py instead)
     assert rows_only == {"mm_decode_stub", "mm_frame_sample",
-                         "mm_image_metrics", "mm_image_enhance"}
+                         "mm_image_metrics", "mm_image_enhance",
+                         "mm_image_resize", "mm_audio_features"}
 
 
 @pytest.mark.parametrize("name", EXECUTE_SAMPLE)
