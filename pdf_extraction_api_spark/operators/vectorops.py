@@ -285,9 +285,104 @@ WHERE rank <= {K}
 """
 
 
+N_PLANES = 8  # hyperplane sign bits per signature
+DIM = 64      # embeddings table dimension (TESTDATA.md)
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity — plain config
+    constants both engines embed as literals (derivation:
+    md5(f"{plane}:{dim}") first hex digit odd → +1)."""
+    import hashlib
+
+    planes = []
+    for j in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 else -1)
+        planes.append(row)
+    return planes
+
+
+def dd_embed_lsh(spark, sf):
+    """Embedding near-dup at scale via random-hyperplane LSH (SimHash
+    for cosine): signature = sign bits of v·r_j over N_PLANES fixed ±1
+    hyperplanes; only same-signature buckets are candidate pairs, then
+    exact cosine verifies >= SIM_THRESHOLD. Geometry-based — unlike
+    dd_embed_cosine's label blocking it needs no metadata to align
+    with the vector space; at 100 TB the bucket groupBy replaces the
+    all-pairs join (collision probability (1-θ/π)^N_PLANES)."""
+    planes = _hyperplanes()
+    e = T(spark, sf, "embeddings")
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in planes[j]]),
+                    lambda x, r: x.cast("double") * r,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(N_PLANES)
+    ]
+    sig = sum(bits[1:], bits[0]).alias("sig")
+    signed = e.select("vec_id", "embedding", sig)
+    a = _with_norm(
+        signed.select("vec_id",
+                      F.col("sig").alias("label"), "embedding"),
+        "embedding", "q").withColumnRenamed("q_label", "q_sig")
+    b = _with_norm(
+        signed.select("vec_id",
+                      F.col("sig").alias("label"), "embedding"),
+        "embedding", "c").withColumnRenamed("c_label", "c_sig")
+    return (
+        a.join(b, (F.col("q_sig") == F.col("c_sig"))
+               & (F.col("q_id") < F.col("c_id")))
+        .select(
+            F.col("q_id").alias("doc_a"),
+            F.col("c_id").alias("doc_b"),
+            F.col("q_sig").cast("int").alias("bucket"),
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= SIM_THRESHOLD)
+        .select("doc_a", "doc_b", "bucket",
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def _embed_lsh_sql() -> str:
+    planes = _hyperplanes()
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {planes[j]!r}::DOUBLE[])"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"""
+WITH signed AS (
+  SELECT vec_id, embedding, {bit_terms} AS sig FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       CAST(a.sig AS INT) AS bucket,
+       CAST(round(
+         list_dot_product(a.embedding, b.embedding)
+           / (sqrt(list_dot_product(a.embedding, a.embedding))
+              * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+         AS DOUBLE) AS cos_sim
+FROM signed a JOIN signed b
+  ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+           * sqrt(list_dot_product(b.embedding, b.embedding)))
+      >= {SIM_THRESHOLD}
+"""
+
+
 QUERIES = {
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
     "ann_ivf_probe": (ann_ivf_probe, ANN_IVF_PROBE_SQL),
     "dd_embed_cosine": (dd_embed_cosine, DD_EMBED_SQL),
+    "dd_embed_lsh": (dd_embed_lsh, _embed_lsh_sql()),
 }
