@@ -159,8 +159,10 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "d1_dedup_hash",         # hash dedup
         "dd_minhash_lsh",        # shingle → minhash → band join
         "dd_simhash",            # bit-majority signatures
+        "dd_embed_lsh",          # hyperplane-bucketed embedding near-dup
         "ann_topk_brute",        # brute-force cosine top-k
         "tx_quality",            # HOF text metrics
+        "mm_image_metrics",      # PNG decode + numpy metrics (Python path)
         "q5_local_supplier",     # 6-way star join
         "aj_asof_join",          # as-of join (range + argmax window)
         "ex4_flagship_rollup",   # extraction kernel + rollup

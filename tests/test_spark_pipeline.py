@@ -107,6 +107,44 @@ def test_lineage_audit(spark, tmp_path):
     assert sum(r["bytes_in"] for r in audit) > 0
 
 
+def test_salting_defuses_megadoc_skew(spark, tmp_path):
+    """north_rule: explicit salting for mega-document skew. A
+    pathological layout (one sorted file, all mega docs first) leaves
+    the scan's byte-balanced splits with most KERNEL TIME in one
+    partition; salt_partitions spreads the mega docs by url hash.
+    Evidence from the lineage audit's per-partition bytes_in."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_api_spark.plans.extract import (
+        audit_metrics,
+        load_pages,
+        run_extraction,
+    )
+
+    # 16 mega docs (~200 KB) + 480 tiny docs, ONE file, megas first
+    mega = "<p>" + ("growth market analysis " * 9000) + "</p>"
+    rows = [(f"https://m/{i:04d}", mega) for i in range(16)]
+    rows += [(f"https://t/{i:04d}", "<p>tiny content here ok</p>")
+             for i in range(480)]
+    path = str(tmp_path / "skewed.parquet")
+    (spark.createDataFrame(rows, "url STRING, text STRING")
+     .select("url", F.encode("text", "utf-8").alias("html"))
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+    def max_share(salt):
+        res = run_extraction(load_pages(spark, path),
+                             salt_partitions=salt)
+        audit = audit_metrics(res, "skewtest").collect()
+        by_part = [r["bytes_in"] for r in audit if r["input_rows"] > 0]
+        return max(by_part) / sum(by_part), len(by_part)
+
+    salted_share, n_parts = max_share(16)
+    assert n_parts >= 8  # actually spread across partitions
+    # with 16 mega docs hashed over 16 partitions, no partition should
+    # carry more than ~1/3 of all bytes (unsalted single-split: ~100%)
+    assert salted_share < 0.35, salted_share
+
+
 def test_snapshot_catalog_resume(spark, tmp_path):
     """Exactly-once per url: partial uncommitted data is invisible;
     re-run processes only the remainder (J4 anti-join)."""
