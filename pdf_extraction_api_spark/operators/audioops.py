@@ -129,7 +129,10 @@ _FEAT_SCHEMA = StructType([
 
 
 def audio_payloads(spark, sf):
-    ids = T(spark, sf, "documents").select("doc_id")
+    # repartition the tiny id column so the Python synth/decode stage
+    # parallelizes (see image_payloads)
+    ids = (T(spark, sf, "documents").select("doc_id")
+           .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -101,8 +101,16 @@ _IMG_SCHEMA = StructType([
 
 def image_payloads(spark, sf):
     """(doc_id, img_kind, png BINARY) — deterministic PNG corpus keyed
-    by documents.doc_id (scales with sf; only doc_id is read)."""
-    ids = T(spark, sf, "documents").select("doc_id")
+    by documents.doc_id (scales with sf; only doc_id is read).
+
+    The id column is repartitioned to the session's parallelism before
+    the Python-heavy stage: a small id projection arrives as ONE scan
+    split, which would serialize the codec work on a single worker —
+    the shuffle moves only 8-byte ids, the expensive rows are produced
+    after it (same sizing logic as the extraction kernel's
+    split-by-kernel-time rule, PLANS.md)."""
+    ids = (T(spark, sf, "documents").select("doc_id")
+           .repartition(spark.sparkContext.defaultParallelism))
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -441,6 +441,36 @@ FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
       FROM documents)
 """
 
+# GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py),
+# no backreferences → identical under Java regex (Spark) and RE2
+# (DuckDB). Contractions, letter runs, digit runs, punct runs,
+# whitespace runs.
+_BPE_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d"
+            r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def tx_tokens_bpe(spark, sf):
+    """BPE-ish token counting: the GPT-2 pre-tokenizer regex over raw
+    text — the usual 'how many tokens will training see' estimate,
+    next to tx_tokens' whitespace count. Whitespace-run matches are
+    excluded from the count (they merge into following tokens in real
+    BPE)."""
+    d = T(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    n_all = F.size(toks)
+    n_ws = F.size(F.filter(toks, lambda t: t.rlike(r"^\s+$")))
+    return d.select(
+        "doc_id", (n_all - n_ws).alias("n_bpe_tokens"))
+
+
+TX_TOKENS_BPE_SQL = rf"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'),
+                       t -> NOT regexp_matches(t, '^\s+$')))
+         AS n_bpe_tokens
+FROM documents
+"""
+
 
 def tx_fingerprint(spark, sf):
     """Document fingerprint: min md5 over all 8-char windows (rolling-
@@ -551,5 +581,6 @@ QUERIES = {
     "tx_langid_argmax": (tx_langid_argmax, TX_LANGID_SQL),
     "tx_quality": (tx_quality, TX_QUALITY_SQL),
     "tx_tokens": (tx_tokens, TX_TOKENS_SQL),
+    "tx_tokens_bpe": (tx_tokens_bpe, TX_TOKENS_BPE_SQL),
     "tx_fingerprint": (tx_fingerprint, TX_FINGERPRINT_SQL),
 }
