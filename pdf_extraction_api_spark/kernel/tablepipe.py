@@ -68,6 +68,12 @@ def clean_grid(raw: list[list]) -> list[list[str]]:
             if cell is None:
                 crow.append("")
                 continue
+            if isinstance(cell, str) and cell.isalnum():
+                # no whitespace, all printable: strip/sub/replace are
+                # no-ops — one C call instead of regex machinery
+                crow.append(cell)
+                keep = True
+                continue
             s = _WS.sub(" ", str(cell).strip())
             if not s.isprintable():
                 s = "".join(ch for ch in s if ch.isprintable())
