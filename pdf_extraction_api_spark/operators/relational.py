@@ -590,6 +590,26 @@ def u3_distinct(spark, sf):
 U3_SQL = "SELECT DISTINCT lang, source FROM documents"
 
 
+def u4_intersect(spark, sf):
+    """U4 intersect (absent from the reference — engine completeness
+    row): langs present in BOTH the first and second half of the
+    corpus."""
+    d = T(spark, sf, "documents")
+    half = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    a = d.filter(F.col("doc_id") <= half).select("lang")
+    b = d.filter(F.col("doc_id") > half).select("lang")
+    return a.intersect(b)
+
+
+U4_SQL = """
+SELECT lang FROM documents
+WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+INTERSECT
+SELECT lang FROM documents
+WHERE doc_id > (SELECT max(doc_id) // 2 FROM documents)
+"""
+
+
 def d1_dedup_hash(spark, sf):
     """D1 dedup by content hash, deterministic first-wins
     (row_number over hash partition ordered by arrival key)."""
@@ -850,5 +870,6 @@ QUERIES: dict[str, tuple] = {
     "u1_union": (u1_union, U1_SQL),
     "u2_except": (u2_except, U2_SQL),
     "u3_distinct": (u3_distinct, U3_SQL),
+    "u4_intersect": (u4_intersect, U4_SQL),
     "d1_dedup_hash": (d1_dedup_hash, D1_SQL),
 }
