@@ -595,9 +595,12 @@ def u4_intersect(spark, sf):
     row): langs present in BOTH the first and second half of the
     corpus."""
     d = T(spark, sf, "documents")
-    half = d.agg(F.max("doc_id")).collect()[0][0] // 2
-    a = d.filter(F.col("doc_id") <= half).select("lang")
-    b = d.filter(F.col("doc_id") > half).select("lang")
+    # scalar via broadcast join, not .collect(): stays one plan
+    half = d.agg(
+        F.floor(F.max("doc_id") / 2).cast("long").alias("half"))
+    dh = d.crossJoin(F.broadcast(half))
+    a = dh.filter(F.col("doc_id") <= F.col("half")).select("lang")
+    b = dh.filter(F.col("doc_id") > F.col("half")).select("lang")
     return a.intersect(b)
 
 
