@@ -172,12 +172,22 @@ class DocModel(HTMLParser):
                       else "stream")
             self._tbl.append([self._page, method, [], None, None])
         elif self._tbl:
+            # hot path: td/tr dominate table-heavy docs — the close
+            # helpers are inlined (same logic as _close_cell/_close_row)
             t = self._tbl[-1]
             if tag == "tr":
-                self._close_row(t)
+                row = t[3]
+                cell = t[4]
+                if cell is not None and row is not None:
+                    row.append("".join(cell))
+                t[4] = None
+                if row is not None:
+                    t[2].append(row)
                 t[3] = []
             elif tag in ("td", "th"):
-                self._close_cell(t)
+                cell = t[4]
+                if cell is not None and t[3] is not None:
+                    t[3].append("".join(cell))
                 if t[3] is None:
                     t[3] = []
                 t[4] = []
@@ -221,11 +231,22 @@ class DocModel(HTMLParser):
             if self._tbl:
                 self._close_table()
         elif self._tbl:
+            # hot path: inlined _close_row/_close_cell (see starttag)
             t = self._tbl[-1]
             if tag == "tr":
-                self._close_row(t)
+                row = t[3]
+                cell = t[4]
+                if cell is not None and row is not None:
+                    row.append("".join(cell))
+                t[4] = None
+                if row is not None:
+                    t[2].append(row)
+                t[3] = None
             elif tag in ("td", "th"):
-                self._close_cell(t)
+                cell = t[4]
+                if cell is not None and t[3] is not None:
+                    t[3].append("".join(cell))
+                t[4] = None
         elif tag in _BLOCK:
             self._flush_blk()
         elif tag == "a":
