@@ -613,6 +613,107 @@ WHERE doc_id > (SELECT max(doc_id) // 2 FROM documents)
 """
 
 
+def _views(spark, sf, *names):
+    """Register parquet tables as temp views for SQL-surface queries
+    (subquery shapes exercise Catalyst's RewriteSubquery paths, which
+    the DataFrame API can't spell directly)."""
+    for n in names:
+        T(spark, sf, n).createOrReplaceTempView(n)
+
+
+def f10_scalar_subquery(spark, sf):
+    """Scalar-subquery filter: rows above a corpus-level aggregate
+    (uncorrelated scalar subquery → Catalyst plans a broadcast of the
+    1-row side; exact: integer avg is order-independent)."""
+    _views(spark, sf, "lineitem")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity > (SELECT avg(l_quantity) + 20 FROM lineitem)
+    """)
+
+
+F10_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity > (SELECT avg(l_quantity) + 20 FROM lineitem)
+"""
+
+
+def j6_exists_correlated(spark, sf):
+    """Correlated EXISTS (beyond plain key semi-join: an extra local
+    predicate inside the subquery; Catalyst rewrites to LeftSemi with
+    the pushed condition)."""
+    _views(spark, sf, "part", "lineitem")
+    return spark.sql("""
+        SELECT p_partkey, p_name FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity >= 49)
+    """)
+
+
+J6_SQL = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+"""
+
+
+def q18_big_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery over the fact
+    table, 3-way join, re-aggregate, ordered top-k."""
+    _views(spark, sf, "customer", "orders", "lineitem")
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+               CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """)
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def a14_cube(spark, sf):
+    """CUBE over (returnflag, linestatus) — all 4 grouping levels in
+    one pass (grouping nulls coalesced to 'ALL' on both engines so the
+    hash compare never sorts None against str)."""
+    li = T(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+        )
+    )
+
+
+A14_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def d1_dedup_hash(spark, sf):
     """D1 dedup by content hash, deterministic first-wins
     (row_number over hash partition ordered by arrival key)."""
@@ -874,5 +975,9 @@ QUERIES: dict[str, tuple] = {
     "u2_except": (u2_except, U2_SQL),
     "u3_distinct": (u3_distinct, U3_SQL),
     "u4_intersect": (u4_intersect, U4_SQL),
+    "f10_scalar_subquery": (f10_scalar_subquery, F10_SQL),
+    "j6_exists_correlated": (j6_exists_correlated, J6_SQL),
+    "q18_big_orders": (q18_big_orders, Q18_SQL),
+    "a14_cube": (a14_cube, A14_SQL),
     "d1_dedup_hash": (d1_dedup_hash, D1_SQL),
 }
