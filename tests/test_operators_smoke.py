@@ -59,6 +59,22 @@ def test_entry_smoke(spark):
         rows[0].asDict())
 
 
+def test_new_query_plan_shapes(spark, registry):
+    """Physical-plan intent of the round-2 shapes: EXISTS rewrites to
+    a semi join, Q18's ordered limit short-circuits, the cube is one
+    pass (Expand, not a union of aggregates)."""
+    queries, _ = registry
+
+    def plan(name):
+        return (queries[name](spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    assert "LeftSemi" in plan("j6_exists_correlated")
+    assert "TakeOrderedAndProject" in plan("q18_big_orders")
+    p = plan("a14_cube")
+    assert "Expand" in p and p.count("HashAggregate") <= 4
+
+
 def test_fingerprint_plan_has_no_exchange(spark):
     """tx_fingerprint must be a zero-shuffle map (array_min over a
     transform) — the per-position explode + groupBy it replaces pushed
