@@ -51,6 +51,9 @@ def _registry() -> dict[str, tuple]:
     from pdf_extraction_api_spark.operators.imageops import (
         QUERIES as IMG_QUERIES,
     )
+    from pdf_extraction_api_spark.operators.videoops import (
+        QUERIES as VIDEO_QUERIES,
+    )
     from pdf_extraction_api_spark.sources.binaryfiles import (
         QUERIES as BIN_QUERIES,
     )
@@ -58,7 +61,8 @@ def _registry() -> dict[str, tuple]:
     merged: dict[str, tuple] = {}
     for group in (REL_QUERIES, SCALAR_QUERIES, TEXT_QUERIES, VEC_QUERIES,
                   MM_QUERIES, IMG_QUERIES, AUDIO_QUERIES,
-                  GROUPED_QUERIES, KERNEL_QUERIES, BIN_QUERIES):
+                  VIDEO_QUERIES, GROUPED_QUERIES, KERNEL_QUERIES,
+                  BIN_QUERIES):
         merged.update(group)
     # Emission order matters: round 1's driver gate recorded exactly 50
     # of 71 queries, and the 21 it never saw were the ones registered

@@ -1,0 +1,138 @@
+"""Real video path: AVI container decode + frame sampling + motion.
+
+Completes the modality set (image: kernel/png.py, audio: stdlib wave,
+video: kernel/avi.py): deterministic uncompressed-RGB AVI clips are
+synthesized per doc_id inside the Arrow batch, then the container is
+PARSED (RIFF walk, avih dims, strh fps, 00db frames), every k-th frame
+sampled, and per-frame statistics computed in numpy — including
+inter-frame motion (mean |Δ| vs the previous sampled frame), the
+shot-boundary primitive a video training pipeline filters on.
+
+Rows-only for the driver (container decode isn't SQL); value
+properties are pytest-checked against the synthesis parameters in
+tests/test_videoops.py (static clips → motion 0; moving-square clips
+→ motion > 0; fps/dims round-trip).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .relational import T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+SAMPLE_EVERY = 2  # keep every 2nd frame
+
+
+def synth_clip(doc_id: int):
+    """Deterministic tiny clip: static gradient or a moving square."""
+    import numpy as np
+
+    kind = "moving" if doc_id % 2 else "static"
+    h, w = 24 + (doc_id * 7) % 16, 32 + (doc_id * 11) % 16
+    n_frames = 4 + doc_id % 5
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    frames = []
+    for f in range(n_frames):
+        img = np.stack([base, base // 2, base // 3], axis=2).copy()
+        if kind == "moving":
+            x0 = (f * 5) % max(w - 8, 1)
+            img[4:12, x0:x0 + 8] = (255, 0, 0)
+        frames.append(img)
+    return kind, frames
+
+
+_CLIP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("clip_kind", StringType()),
+    StructField("avi", BinaryType()),
+])
+
+_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("clip_kind", StringType()),
+    StructField("fps", IntegerType()),
+    StructField("frame_no", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("brightness", DoubleType()),
+    StructField("motion", DoubleType()),
+])
+
+
+def video_payloads(spark, sf):
+    # repartition the tiny id column so the Python codec stage
+    # parallelizes (see imageops.image_payloads)
+    ids = (T(spark, sf, "documents").select("doc_id")
+           .repartition(spark.sparkContext.defaultParallelism))
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import avi as avic
+
+        for pdf in batches:
+            out, kinds, blobs = [], [], []
+            for doc_id in pdf["doc_id"].values:
+                kind, frames = synth_clip(int(doc_id))
+                out.append(int(doc_id))
+                kinds.append(kind)
+                blobs.append(avic.encode(frames, fps=10))
+            yield pd.DataFrame(
+                {"doc_id": out, "clip_kind": kinds, "avi": blobs})
+
+    return ids.mapInPandas(gen, schema=_CLIP_SCHEMA)
+
+
+def mm_video_frames(spark, sf):
+    """Container decode → every-k-th frame sample → per-frame
+    brightness + motion vs the previous SAMPLED frame."""
+    clips = video_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel import avi as avic
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["clip_kind"].values,
+                    pdf["avi"].values):
+                fps, frames = avic.decode(bytes(blob))
+                prev = None
+                for i in range(0, len(frames), SAMPLE_EVERY):
+                    f = frames[i].astype(np.float64)
+                    motion = (float(np.abs(f - prev).mean())
+                              if prev is not None else 0.0)
+                    rows.append({
+                        "doc_id": int(doc_id), "clip_kind": kind,
+                        "fps": fps, "frame_no": i,
+                        "width": f.shape[1], "height": f.shape[0],
+                        "brightness": round(float(f.mean()), 6),
+                        "motion": round(motion, 6),
+                    })
+                    prev = f
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+QUERIES = {
+    "mm_video_frames": (mm_video_frames, None),
+}

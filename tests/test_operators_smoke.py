@@ -40,7 +40,8 @@ def test_oracles_cover_queries(registry):
     # property-tested in tests/test_imageops.py instead)
     assert rows_only == {"mm_decode_stub", "mm_frame_sample",
                          "mm_image_metrics", "mm_image_enhance",
-                         "mm_image_resize", "mm_audio_features"}
+                         "mm_image_resize", "mm_audio_features",
+                         "mm_video_frames"}
 
 
 @pytest.mark.parametrize("name", EXECUTE_SAMPLE)
