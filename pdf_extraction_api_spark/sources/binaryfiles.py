@@ -65,6 +65,66 @@ SELECT doc_id,
 FROM documents WHERE doc_id < {_N_FILES}
 """
 
+def _csv_tree(spark, sf: str) -> Path:
+    """Deterministic CSV file tree (one file per 16-doc shard)."""
+    tag = sf.strip("/").replace("/", "_")
+    base = Path(tempfile.gettempdir()) / "spark_graft_csv" / tag
+    if not (base / "_DONE").exists():
+        base.mkdir(parents=True, exist_ok=True)
+        rows = (
+            T(spark, sf, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .filter(F.col("doc_id") < _N_FILES)
+            .collect()
+        )
+        shards: dict[int, list] = {}
+        for r in rows:
+            shards.setdefault(int(r.doc_id) // 16, []).append(r)
+        for shard, items in shards.items():
+            lines = ["doc_id,lang,n_chars"]
+            for r in sorted(items, key=lambda x: x.doc_id):
+                lines.append(f"{r.doc_id},{r.lang},{r.n_chars}")
+            (base / f"shard_{shard:03d}.csv").write_text(
+                "\n".join(lines) + "\n")
+        (base / "_DONE").write_text("ok")
+    return base
+
+
+def s5_csv_glob(spark, sf):
+    """S5: CSV glob source (ref main.py:415-442 reads back the table
+    CSVs by glob) — spark.read.csv with an explicit schema +
+    input_file_name() lineage, per-file row counts reconciled against
+    the originating table."""
+    base = _csv_tree(spark, sf)
+    df = (
+        spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("header", True)
+        .csv(str(base / "*.csv"))
+        .withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard_(\d+)\.csv", 1)
+            .cast("int"))
+    )
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+S5_SQL = f"""
+SELECT CAST(doc_id // 16 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents WHERE doc_id < {_N_FILES}
+GROUP BY 1
+"""
+
 QUERIES = {
     "s6_binary_glob": (s6_binary_glob, S6_SQL),
+    "s5_csv_glob": (s5_csv_glob, S5_SQL),
 }
