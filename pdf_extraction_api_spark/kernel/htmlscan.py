@@ -151,7 +151,10 @@ def _starttag(s: str, lt: int, data, start, end):
         start(tag, [])
         return endpos, (tag if tag in _RAWTEXT else None)
     # attrfind walk — always runs (it fixes the tag/data decision),
-    # but tuples are only built when DocModel could observe them
+    # but tuples are only built when DocModel could observe them.
+    # NOTE: the or-chain below is a hardcoded copy of
+    # _INTERESTING_ATTRS for speed — the import-time assert at the
+    # bottom of this module keeps the two in sync.
     lowchunk = s[k:endpos].lower()
     want = ("class" in lowchunk or "border" in lowchunk
             or "data-page" in lowchunk)
@@ -297,3 +300,10 @@ def scan(s: str, model) -> None:
         else:
             data("<")  # raw single char, then resume as text
             i = lt + 1
+
+
+# _starttag's fast-path gate hardcodes these names; if DocModel ever
+# reacts to a new attribute, this assert forces the gate to be updated
+# too (otherwise the new attr would silently never be parsed).
+assert _INTERESTING_ATTRS == ("class", "border", "data-page"), (
+    "update the hardcoded attr-interest gate in _starttag")

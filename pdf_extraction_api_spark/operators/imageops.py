@@ -250,7 +250,8 @@ def enhance(arr, kind: str):
         return float(_to_gray(a.astype(np.uint8)).mean())
 
     def _contrast(a, f):
-        return (_gray_mean(a) + f * (a - _gray_mean(a)))
+        m = _gray_mean(a)
+        return m + f * (a - m)
 
     def _sharpen(a, f):
         if a.ndim == 2:

@@ -442,11 +442,14 @@ FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
 """
 
 # GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py),
-# no backreferences → identical under Java regex (Spark) and RE2
-# (DuckDB). Contractions, letter runs, digit runs, punct runs,
-# whitespace runs.
+# no backreferences. \s is NOT portable between Java regex (includes
+# \x0B) and RE2 (does not), so the whitespace class is spelled out —
+# [ \t\n\x0B\f\r], exactly Java's non-unicode \s — making the two
+# engines byte-identical even on vertical tabs.
+_WS_CLS = r"[ \t\n\x0B\f\r]"
 _BPE_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d"
-            r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+            rf"| ?\p{{L}}+| ?\p{{N}}+| ?[^{_WS_CLS[1:-1]}\p{{L}}\p{{N}}]+"
+            rf"|{_WS_CLS}+")
 
 
 def tx_tokens_bpe(spark, sf):
@@ -458,7 +461,7 @@ def tx_tokens_bpe(spark, sf):
     d = T(spark, sf, "documents")
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
     n_all = F.size(toks)
-    n_ws = F.size(F.filter(toks, lambda t: t.rlike(r"^\s+$")))
+    n_ws = F.size(F.filter(toks, lambda t: t.rlike(f"^{_WS_CLS}+$")))
     return d.select(
         "doc_id", (n_all - n_ws).alias("n_bpe_tokens"))
 
@@ -466,25 +469,36 @@ def tx_tokens_bpe(spark, sf):
 TX_TOKENS_BPE_SQL = rf"""
 SELECT doc_id,
        len(list_filter(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'),
-                       t -> NOT regexp_matches(t, '^\s+$')))
+                       t -> NOT regexp_matches(t, '^{_WS_CLS}+$')))
          AS n_bpe_tokens
 FROM documents
 """
+
+
+_FP_BLOCK = 4096  # windows materialized at once (mega-doc memory cap)
 
 
 def tx_fingerprint(spark, sf):
     """Document fingerprint: min md5 over all 8-char windows (rolling-
     hash winnowing, one representative hash per doc).
 
-    Zero-shuffle map: array_min over a transform of the window
-    positions — NOT a per-position explode + groupBy, which would
-    materialize ~len(text) rows per doc through an Exchange
-    (tests/test_operators_smoke.py asserts the plan has no Exchange).
-    """
+    Zero-shuffle map: min-of-block-mins over nested transforms — NOT a
+    per-position explode + groupBy (which shuffles ~len(text) rows per
+    doc), and NOT a single flat transform (which would materialize
+    len(text) md5 strings at once for a mega-doc). The inner transform
+    evaluates one ≤4096-window block at a time, so peak per-row memory
+    is one block regardless of document size; min-of-mins equals the
+    global min exactly. tests/test_operators_smoke.py asserts the plan
+    has no Exchange."""
     d = T(spark, sf, "documents").filter(F.length("text") >= 8)
+    b = _FP_BLOCK
     fp = F.expr(
-        "array_min(transform(sequence(1, length(text) - 7),"
-        " p -> md5(substring(text, p, 8))))")
+        f"array_min(transform("
+        f"  sequence(0, CAST((length(text) - 8) / {b} AS INT)),"
+        f"  blk -> array_min(transform("
+        f"    sequence(blk * {b} + 1,"
+        f"             least(blk * {b} + {b}, length(text) - 7)),"
+        f"    p -> md5(substring(text, p, 8))))))")
     return d.select("doc_id", fp.alias("fingerprint"))
 
 

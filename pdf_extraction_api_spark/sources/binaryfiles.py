@@ -26,23 +26,56 @@ from ..operators.relational import T
 _N_FILES = 64
 
 
-def _file_tree(spark, sf: str) -> Path:
-    """Deterministic on-disk blob tree for sf (built once, reused)."""
-    tag = sf.strip("/").replace("/", "_")
-    base = Path(tempfile.gettempdir()) / "spark_graft_bin" / tag
-    if not (base / "_DONE").exists():
-        base.mkdir(parents=True, exist_ok=True)
-        rows = (
-            T(spark, sf, "documents")
-            .select("doc_id", "text")
-            .filter(F.col("doc_id") < _N_FILES)
-            .collect()  # 64 tiny rows: fixture construction, not the op
-        )
-        for r in rows:
-            p = base / f"doc_{r.doc_id:05d}.bin"
-            p.write_bytes(r.text.encode("utf-8"))
-        (base / "_DONE").write_text("ok")
+def _rows_fingerprint(rows) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for r in rows:
+        h.update(str(tuple(r)).encode("utf-8"))
+    return h.hexdigest()
+
+
+def _build_tree(kind: str, rows, write_files) -> Path:
+    """Content-keyed, atomically-published fixture tree: the cache dir
+    name embeds a fingerprint of the source rows (so a regenerated
+    table never serves stale files), and files are staged in a temp
+    dir then os.rename'd into place (so a concurrent reader never sees
+    a half-written tree)."""
+    import os
+    import uuid
+
+    fp = _rows_fingerprint(rows)
+    base = Path(tempfile.gettempdir()) / f"spark_graft_{kind}" / fp
+    if base.exists():
+        return base
+    stage = base.parent / f".stage-{uuid.uuid4().hex}"
+    stage.mkdir(parents=True, exist_ok=True)
+    write_files(stage, rows)
+    try:
+        os.rename(stage, base)  # atomic publish
+    except OSError:  # lost the race to another session — theirs wins
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return base
+
+
+def _file_tree(spark, sf: str) -> Path:
+    """Deterministic on-disk blob tree derived from documents."""
+    rows = (
+        T(spark, sf, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _N_FILES)
+        .orderBy("doc_id")
+        .collect()  # 64 tiny rows: fixture construction, not the op
+    )
+
+    def write(stage: Path, rows):
+        for r in rows:
+            (stage / f"doc_{r.doc_id:05d}.bin").write_bytes(
+                r.text.encode("utf-8"))
+
+    return _build_tree("bin", rows, write)
 
 
 def s6_binary_glob(spark, sf):
@@ -67,27 +100,26 @@ FROM documents WHERE doc_id < {_N_FILES}
 
 def _csv_tree(spark, sf: str) -> Path:
     """Deterministic CSV file tree (one file per 16-doc shard)."""
-    tag = sf.strip("/").replace("/", "_")
-    base = Path(tempfile.gettempdir()) / "spark_graft_csv" / tag
-    if not (base / "_DONE").exists():
-        base.mkdir(parents=True, exist_ok=True)
-        rows = (
-            T(spark, sf, "documents")
-            .select("doc_id", "lang", "n_chars")
-            .filter(F.col("doc_id") < _N_FILES)
-            .collect()
-        )
+    rows = (
+        T(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("doc_id") < _N_FILES)
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    def write(stage: Path, rows):
         shards: dict[int, list] = {}
         for r in rows:
             shards.setdefault(int(r.doc_id) // 16, []).append(r)
         for shard, items in shards.items():
             lines = ["doc_id,lang,n_chars"]
-            for r in sorted(items, key=lambda x: x.doc_id):
+            for r in items:
                 lines.append(f"{r.doc_id},{r.lang},{r.n_chars}")
-            (base / f"shard_{shard:03d}.csv").write_text(
+            (stage / f"shard_{shard:03d}.csv").write_text(
                 "\n".join(lines) + "\n")
-        (base / "_DONE").write_text("ok")
-    return base
+
+    return _build_tree("csv", rows, write)
 
 
 def s5_csv_glob(spark, sf):

@@ -66,10 +66,11 @@ class SnapshotCatalog:
         manifest references and dangle every subsequent read().
         """
         tdir = self._tdir(table)
-        for m in self._manifests(table):
-            info = json.loads(m.read_text())
-            if info["run_id"] == run_id:
-                return info
+        # manifests are named manifest-<seq>-<run_id>.json, so the
+        # committed check is one glob, not a parse of all history
+        prior = sorted(tdir.glob(f"manifest-*-{run_id}.json"))
+        if prior:
+            return json.loads(prior[-1].read_text())
         data_dir = tdir / "data" / run_id
         df.write.mode("overwrite").parquet(str(data_dir))
         files = sorted(

@@ -76,6 +76,32 @@ def test_new_query_plan_shapes(spark, registry):
     assert "Expand" in p and p.count("HashAggregate") <= 4
 
 
+def test_bpe_tokens_vertical_tab_parity(spark, tmp_path):
+    """Java \\s matches \\x0B, RE2's does not — the pattern spells the
+    whitespace class out so both engines agree on vertical tabs."""
+    import duckdb
+
+    from pdf_extraction_api_spark.operators.textops import (
+        TX_TOKENS_BPE_SQL,
+        tx_tokens_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello\x0bworld", 11, "x"), (1, "a \x0b b\tc\nd", 9, "x"),
+         (2, "it's fine, 123 ok", 17, "x")],
+        "doc_id LONG, text STRING, n_chars LONG, source STRING")
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in tx_tokens_bpe(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(  # Spark writes a directory of part files
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')")
+    want = dict(con.sql(TX_TOKENS_BPE_SQL).fetchall())
+    assert got == want, (got, want)
+
+
 def test_fingerprint_plan_has_no_exchange(spark):
     """tx_fingerprint must be a zero-shuffle map (array_min over a
     transform) — the per-position explode + groupBy it replaces pushed
