@@ -144,7 +144,10 @@ WHERE rank <= {K}
 
 
 def dd_embed_cosine(spark, sf):
-    """Embedding near-dup pairs (cos >= threshold) within clusters."""
+    """Embedding near-dup pairs (cos >= threshold) within label
+    clusters. NOTE: a mega-label still squares inside its block —
+    dd_embed_lsh (geometry buckets + cap) is the 100 TB path; this is
+    the metadata-blocked variant kept for its oracle simplicity."""
     e = T(spark, sf, "embeddings")
     a = _with_norm(e, "embedding", "q")
     b = _with_norm(e, "embedding", "c")
@@ -286,6 +289,10 @@ WHERE rank <= {K}
 
 
 N_PLANES = 8  # hyperplane sign bits per signature
+# max vectors per signature bucket (same rationale as textops'
+# LSH_BUCKET_CAP: a mega-cluster of near-identical embeddings would
+# square inside its bucket; exact dups belong to dd_exact upstream)
+EMBED_BUCKET_CAP = 256
 DIM = 64      # embeddings table dimension (TESTDATA.md)
 
 
@@ -329,21 +336,40 @@ def dd_embed_lsh(spark, sf):
     ]
     sig = sum(bits[1:], bits[0]).alias("sig")
     signed = e.select("vec_id", "embedding", sig)
-    a = _with_norm(
-        signed.select("vec_id",
-                      F.col("sig").alias("label"), "embedding"),
-        "embedding", "q").withColumnRenamed("q_label", "q_sig")
-    b = _with_norm(
-        signed.select("vec_id",
-                      F.col("sig").alias("label"), "embedding"),
-        "embedding", "c").withColumnRenamed("c_label", "c_sig")
+    # aggregate-then-expand (the dd_minhash_lsh shape): bucket counts
+    # via hash agg, drop oversized buckets, generate candidate id
+    # pairs MAP-SIDE from each bucket's sorted id array — no
+    # self-join, per-bucket memory bounded by the cap
+    keep = (
+        signed.groupBy("sig").count()
+        .filter((F.col("count") >= 2)
+                & (F.col("count") <= EMBED_BUCKET_CAP))
+        .select("sig")
+    )
+    buckets = (
+        signed.join(keep, "sig")
+        .groupBy("sig")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+    )
+    cand = buckets.select(
+        F.col("sig"),
+        F.explode(
+            F.flatten(F.expr(
+                "transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
+                "           y -> struct(x AS doc_a, y AS doc_b)))"
+            ))
+        ).alias("p"),
+    ).select("p.doc_a", "p.doc_b", F.col("sig").cast("int").alias("bucket"))
+    # exact cosine verification of the candidates
+    a = _with_norm(e, "embedding", "q").select(
+        F.col("q_id").alias("doc_a"), "q_v", "q_norm")
+    b = _with_norm(e, "embedding", "c").select(
+        F.col("c_id").alias("doc_b"), "c_v", "c_norm")
     return (
-        a.join(b, (F.col("q_sig") == F.col("c_sig"))
-               & (F.col("q_id") < F.col("c_id")))
+        cand.join(a, "doc_a").join(b, "doc_b")
         .select(
-            F.col("q_id").alias("doc_a"),
-            F.col("c_id").alias("doc_b"),
-            F.col("q_sig").cast("int").alias("bucket"),
+            "doc_a", "doc_b", "bucket",
             (_cosine("q_v", "c_v")
              / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
@@ -362,7 +388,10 @@ def _embed_lsh_sql() -> str:
     )
     return f"""
 WITH signed AS (
-  SELECT vec_id, embedding, {bit_terms} AS sig FROM embeddings)
+  SELECT vec_id, embedding, {bit_terms} AS sig FROM embeddings),
+kept AS (
+  SELECT sig FROM signed GROUP BY sig
+  HAVING count(*) BETWEEN 2 AND {EMBED_BUCKET_CAP})
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        CAST(a.sig AS INT) AS bucket,
        CAST(round(
@@ -372,6 +401,7 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
          AS DOUBLE) AS cos_sim
 FROM signed a JOIN signed b
   ON a.sig = b.sig AND a.vec_id < b.vec_id
+JOIN kept k ON k.sig = a.sig
 WHERE list_dot_product(a.embedding, b.embedding)
         / (sqrt(list_dot_product(a.embedding, a.embedding))
            * sqrt(list_dot_product(b.embedding, b.embedding)))
