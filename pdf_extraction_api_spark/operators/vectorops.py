@@ -190,21 +190,22 @@ def ann_ivf_probe(spark, sf):
     equi join scanning N_PROBE/n_clusters of the corpus — the
     brute-force cross join never happens."""
     e = T(spark, sf, "embeddings")
-    dims = e.select(
-        "label",
-        F.posexplode(F.col("embedding")).alias("dim", "v"),
-    )
+    # centroids as dim map-side-combinable aggregates (the dd_simhash
+    # pattern) — a posexplode would push a dim× row blowup through the
+    # shuffle; this shuffles one row per (label, partition). The
+    # dimension is schema discovery (one head row), not data movement.
+    dim = len(e.select("embedding").head()[0])
     cent = (
-        dims.groupBy("label", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda s: s["c"],
-            ).alias("cvec")
+        e.groupBy("label")
+        .agg(*[
+            F.avg(F.element_at("embedding", i + 1).cast("double"))
+            .alias(f"c{i}")
+            for i in range(dim)
+        ])
+        .select(
+            F.col("label").alias("c_label"),
+            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cvec"),
         )
-        .select(F.col("label").alias("c_label"), "cvec")
     )
     q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
     # assign: nearest centroid by cosine (argmax over broadcast table)
