@@ -67,8 +67,12 @@ FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
 def _shingles(spark, sf) -> DataFrame:
     """(doc_id, shingle) — distinct 3-token shingles.
 
-    Map-side array construction (transform over the token array) —
-    NO per-doc sort/window shuffle; the only shuffle is the distinct.
+    Fully map-side: the shingle array is built with a transform over
+    the token array and de-duplicated per doc with array_distinct
+    BEFORE the explode — per-doc set semantics need no global
+    distinct, so this stage contributes ZERO shuffles (the old
+    .distinct() pushed the entire exploded shingle set through an
+    Exchange first).
     """
     d = T(spark, sf, "documents")
     # materialize the token array as a COLUMN before the explode —
@@ -90,7 +94,7 @@ def _shingles(spark, sf) -> DataFrame:
         ),
     )
     return toked.select(
-        "doc_id", F.explode(sh).alias("shingle")).distinct()
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 _SHINGLES_SQL = f"""
