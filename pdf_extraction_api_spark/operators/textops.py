@@ -44,17 +44,8 @@ SHINGLE = 3
 LSH_BUCKET_CAP = 64
 
 
-def _tokens(spark, sf) -> DataFrame:
-    """(doc_id, pos, token) — whitespace tokenization via posexplode."""
-    d = T(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split("text", r"\s+"), lambda x: x != "")
-        ).alias("pos", "token"),
-    )
-
-
+# positional tokenization, oracle-side only (the engine paths build
+# token arrays map-side and never need a positional explode)
 _TOKENS_SQL = r"""
 SELECT doc_id, pos, toks[pos + 1] AS token
 FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
@@ -299,12 +290,21 @@ JOIN sizes sb ON sb.doc_id = doc_b
 
 def dd_simhash(spark, sf):
     """16-bit SimHash: per-bit majority vote over md5 hex digits of the
-    doc's distinct tokens; signature reassembled via shiftleft."""
-    toks = (
-        _tokens(spark, sf)
-        .select("doc_id", F.md5("token").alias("h"))
-        .distinct()
-    )
+    doc's distinct tokens; signature reassembled via shiftleft.
+
+    Token de-dup is per-doc array_distinct BEFORE the explode (set
+    semantics are per doc), so the only shuffle is the final
+    groupBy(doc_id) of 16 combinable sums — the old relational
+    .distinct() pushed every (doc, token-hash) row through an
+    Exchange first."""
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        ).alias("token"),
+    ).select("doc_id", F.md5("token").alias("h"))
     # per-bit votes in ONE map-side-combinable agg: 16 sum columns over
     # the hashed token (md5 computed once, not once per bit), signature
     # reassembled from the 16 sums without any row blowup.
