@@ -613,6 +613,34 @@ WHERE doc_id > (SELECT max(doc_id) // 2 FROM documents)
 """
 
 
+def a15_dispersion(spark, sf):
+    """Quantile/dispersion aggregates (corpus-stats staple): exact
+    interpolated percentiles + sample stddev per group. Spark's
+    percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition; values rounded so ulp noise from
+    different summation orders can't flip the hash."""
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
+            .alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4)
+            .alias("p90_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        )
+    )
+
+
+A15_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(stddev_samp(l_quantity), 4) AS sd_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _views(spark, sf, *names):
     """Register parquet tables as temp views for SQL-surface queries
     (subquery shapes exercise Catalyst's RewriteSubquery paths, which
@@ -979,5 +1007,6 @@ QUERIES: dict[str, tuple] = {
     "j6_exists_correlated": (j6_exists_correlated, J6_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     "a14_cube": (a14_cube, A14_SQL),
+    "a15_dispersion": (a15_dispersion, A15_SQL),
     "d1_dedup_hash": (d1_dedup_hash, D1_SQL),
 }
