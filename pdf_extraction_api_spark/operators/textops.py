@@ -588,8 +588,36 @@ GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20
 """
 
 
+def tx_hash_sample(spark, sf):
+    """Deterministic hash sampling — the reproducible way to subsample
+    a training corpus (seed-based sample() differs per engine/run;
+    md5-prefix thresholding gives the same ~rate everywhere, is
+    re-runnable, and pushes down as a plain filter). Stratified: 25%
+    of 'en' docs, 50% of everything else."""
+    d = T(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 4), 16, 10).cast("long")
+    rate = F.when(F.col("lang") == "en", 0.25).otherwise(0.5)
+    kept = d.filter(bucket < rate * 65536)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("first_id"),
+    )
+
+
+TX_HASH_SAMPLE_SQL = """
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           AS BIGINT)
+      < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.5 END) * 65536
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "tx_hash_sample": (tx_hash_sample, TX_HASH_SAMPLE_SQL),
     "tx_pii_scrub": (tx_pii_scrub, TX_PII_SQL),
     "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
