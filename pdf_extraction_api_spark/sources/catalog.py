@@ -86,21 +86,64 @@ class SnapshotCatalog:
             "parent": prev["run_id"] if prev else None,
             "committed_at_unix": int(time.time()),
         }
+        return self._commit(tdir, manifest)
+
+    def _commit(self, tdir, manifest: dict) -> dict:
         tmp = tdir / f".manifest-{uuid.uuid4().hex}.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
-        final = tdir / f"manifest-{seq:09d}-{run_id}.json"
+        final = (tdir / f"manifest-{manifest['sequence']:09d}"
+                        f"-{manifest['run_id']}.json")
         os.replace(tmp, final)  # atomic commit point
         return manifest
 
+    def compact(self, spark: SparkSession, table: str,
+                *, target_files: int = 8,
+                run_id: str = "compaction") -> dict | None:
+        """Small-file maintenance (Iceberg rewrite_data_files
+        semantics): rewrite the current union into ~target_files
+        parquet files and commit a FULL snapshot that supersedes the
+        manifest history. Readers always see either the old file set
+        or the new one (manifest rename is the atomic switch); old
+        data files stay on disk for time-travel/GC, exactly like
+        Iceberg's expire_snapshots being a separate step. Idempotent
+        per run_id like append()."""
+        tdir = self._tdir(table)
+        prior = sorted(tdir.glob(f"manifest-*-{run_id}.json"))
+        if prior:
+            return json.loads(prior[-1].read_text())
+        current = self.read(spark, table)
+        if current is None:
+            return None
+        data_dir = tdir / "data" / run_id
+        current.coalesce(target_files).write.mode("overwrite").parquet(
+            str(data_dir))
+        files = sorted(
+            str(p.relative_to(tdir)) for p in data_dir.glob("*.parquet"))
+        prev = self.last_snapshot(table)
+        manifest = {
+            "sequence": prev["sequence"] + 1,
+            "run_id": run_id,
+            "files": files,
+            "parent": prev["run_id"],
+            "committed_at_unix": int(time.time()),
+            "full_snapshot": True,  # supersedes earlier manifests
+        }
+        return self._commit(tdir, manifest)
+
     def read(self, spark: SparkSession, table: str,
              *, all_snapshots: bool = True) -> DataFrame | None:
-        """Read the union of all committed snapshots' files (append-only
-        table semantics). Uncommitted data files are never read."""
+        """Read the current table: the union of manifests since (and
+        including) the latest full snapshot — append manifests add
+        files, a full_snapshot manifest (compaction) replaces
+        everything before it. Uncommitted data files are never read."""
         tdir = self._tdir(table)
         paths: list[str] = []
         seen: set[str] = set()
         for m in self._manifests(table):
             info = json.loads(m.read_text())
+            if info.get("full_snapshot"):
+                paths.clear()
+                seen.clear()
             for f in info["files"]:
                 if f not in seen:
                     seen.add(f)

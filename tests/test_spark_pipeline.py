@@ -193,6 +193,28 @@ def test_snapshot_catalog_resume(spark, tmp_path):
     assert len(cat.committed_run_ids("results")) == 2  # no 3rd manifest
     assert cat.read(spark, "results").count() == 200   # nothing dangles
 
+    # compaction: rewrite the union into few files via a full snapshot;
+    # same rows, later appends still layer on top
+    n_files_before = len({
+        f for m in cat._manifests("results")
+        for f in __import__("json").loads(m.read_text())["files"]})
+    c = cat.compact(spark, "results", target_files=2)
+    assert c["full_snapshot"] and len(c["files"]) <= 2
+    after = cat.read(spark, "results")
+    assert after.count() == 200
+    assert after.select("url").distinct().count() == 200
+    # AQE may already coalesce tiny appends to few files; compaction
+    # must never increase the count
+    assert len(c["files"]) <= n_files_before
+    # idempotent like append
+    again = cat.compact(spark, "results", target_files=2)
+    assert again["sequence"] == c["sequence"]
+    # post-compaction append still visible
+    extra = r1.limit(3).withColumn(
+        "url", F.concat(F.lit("post-"), F.col("url")))
+    cat.append(extra, "results", run_id="run3")
+    assert cat.read(spark, "results").count() == 203
+
 
 def test_spark_path_matches_refkernel_fresh_seed(spark, tmp_path):
     """Byte-equality on a corpus that is NOT the committed golden one
