@@ -130,6 +130,32 @@ class SnapshotCatalog:
         }
         return self._commit(tdir, manifest)
 
+    def vacuum(self, table: str) -> list[str]:
+        """GC companion to compact() (Iceberg expire_snapshots +
+        remove_orphan_files semantics): delete data files no longer
+        reachable from the current read set (files superseded by the
+        latest full snapshot). Manifests are kept — append()'s
+        per-run_id idempotency and the audit trail stay intact; only
+        unreferenced bytes are reclaimed. Returns the deleted paths."""
+        tdir = self._tdir(table)
+        live: set[str] = set()
+        for m in self._manifests(table):
+            info = json.loads(m.read_text())
+            if info.get("full_snapshot"):
+                live.clear()
+            live.update(info["files"])
+        deleted = []
+        data_root = tdir / "data"
+        if not data_root.exists():
+            return deleted
+        for p in sorted(data_root.rglob("*")):
+            if p.is_file():
+                rel = str(p.relative_to(tdir))
+                if rel not in live and rel.endswith(".parquet"):
+                    p.unlink()
+                    deleted.append(rel)
+        return deleted
+
     def read(self, spark: SparkSession, table: str,
              *, all_snapshots: bool = True) -> DataFrame | None:
         """Read the current table: the union of manifests since (and

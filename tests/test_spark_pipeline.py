@@ -215,6 +215,19 @@ def test_snapshot_catalog_resume(spark, tmp_path):
     cat.append(extra, "results", run_id="run3")
     assert cat.read(spark, "results").count() == 203
 
+    # vacuum reclaims only files superseded by the full snapshot:
+    # reads are unaffected, manifests (and so run_id idempotency) stay
+    deleted = cat.vacuum("results")
+    assert deleted  # run1/run2's superseded parts + the crashed run
+    assert all(d.startswith(("data/run", "data/crashed"))
+               for d in deleted)
+    assert any(d.startswith("data/crashed") for d in deleted)
+    assert cat.read(spark, "results").count() == 203
+    assert cat.vacuum("results") == []  # second pass: nothing left
+    m2 = cat.append(extra, "results", run_id="run3")  # still a no-op
+    assert m2["run_id"] == "run3"
+    assert cat.read(spark, "results").count() == 203
+
 
 def test_spark_path_matches_refkernel_fresh_seed(spark, tmp_path):
     """Byte-equality on a corpus that is NOT the committed golden one
