@@ -73,7 +73,8 @@ def _registry() -> dict[str, tuple]:
              if n in ("c7_units_filter", "c9_tickers")
              or n.startswith(("dd_", "ann_", "tx_", "mm_", "ex", "vec_",
                               "s5_", "s6_", "a9_", "c12_", "u4_",
-                              "f10_", "j6_", "q18_", "a14_", "a15_"))]
+                              "f10_", "j6_", "q18_", "a14_", "a15_",
+                              "c22_", "c23_"))]
     out: dict[str, tuple] = {n: merged[n] for n in first}
     for n, v in merged.items():
         out.setdefault(n, v)

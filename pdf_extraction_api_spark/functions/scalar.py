@@ -218,6 +218,45 @@ FROM documents
 """
 
 
+def c22_date_trunc(spark, sf):
+    """Calendar bucketing: weekly rollup via date_trunc (both engines
+    start ISO weeks on Monday; Spark returns TIMESTAMP → cast to DATE
+    to match DuckDB)."""
+    o = T(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.to_date(F.date_trunc("week", "o_orderdate")).alias("wk"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("volume"))
+    )
+
+
+C22_SQL = """
+SELECT date_trunc('week', o_orderdate) AS wk,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS volume
+FROM orders GROUP BY 1
+"""
+
+
+def c23_levenshtein(spark, sf):
+    """Edit distance (fuzzy near-dup primitive): distance between each
+    part name and its type string, bucketed."""
+    p = T(spark, sf, "part")
+    d = F.levenshtein(F.lower("p_name"), F.lower("p_type"))
+    return (
+        p.groupBy((d - d % 10).alias("dist_bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+C23_SQL = """
+SELECT d - d % 10 AS dist_bucket, count(*) AS n
+FROM (SELECT levenshtein(lower(p_name), lower(p_type)) AS d FROM part)
+GROUP BY 1
+"""
+
+
 def c13_format_string(spark, sf):
     """C13 filename generation format."""
     li = T(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 200)
@@ -400,6 +439,8 @@ QUERIES = {
     "c10_numeric_rlike": (c10_numeric_rlike, C10_SQL),
     "c11_md5": (c11_md5, C11_SQL),
     "c12_base64": (c12_base64, C12_SQL),
+    "c22_date_trunc": (c22_date_trunc, C22_SQL),
+    "c23_levenshtein": (c23_levenshtein, C23_SQL),
     "c13_format_string": (c13_format_string, C13_SQL),
     "c14_date_format": (c14_date_format, C14_SQL),
     "c15_exhibit_regex": (c15_exhibit_regex, C15_SQL),

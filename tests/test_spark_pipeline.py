@@ -107,6 +107,29 @@ def test_lineage_audit(spark, tmp_path):
     assert sum(r["bytes_in"] for r in audit) > 0
 
 
+def test_null_and_garbage_html_never_kill_the_job(spark, tmp_path):
+    """Robustness: NULL html, empty bytes and raw garbage must flow
+    through the kernel as rows (error column set or empty result),
+    never fail the task — one bad crawl record can't take down a
+    100 TB job."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_api_spark.plans.extract import (
+        audit_metrics,
+        run_extraction,
+    )
+
+    rows = [("u1", None), ("u2", b""), ("u3", b"\xff\xfe garbage \x00"),
+            ("u4", b"<p>fine content row long enough here.</p>")]
+    pages = spark.createDataFrame(rows, "url STRING, html BINARY")
+    res = run_extraction(pages)
+    got = {r.url: r for r in res.collect()}
+    assert set(got) == {"u1", "u2", "u3", "u4"}
+    assert got["u4"].n_tables == 0 and got["u4"].extracted_text
+    audit = audit_metrics(res, "robust").collect()
+    assert sum(r["input_rows"] for r in audit) == 4
+
+
 def test_salting_defuses_megadoc_skew(spark, tmp_path):
     """north_rule: explicit salting for mega-document skew. A
     pathological layout (one sorted file, all mega docs first) leaves
