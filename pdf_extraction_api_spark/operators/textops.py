@@ -236,7 +236,13 @@ def dd_ngram_jaccard(spark, sf):
     similarity computed ONLY for dd_minhash_lsh survivor pairs (join
     candidates → their shingles), never the full shingle-shingle
     self-join — at corpus scale that would be O(Σ df²) on common
-    shingles. Pairs sharing >= 5 shingles are emitted."""
+    shingles. Pairs sharing >= 5 shingles are emitted.
+
+    Note: the plan tokenizes the corpus once per _shingles reference
+    (candidates + two verification sides). Tokenization is a pure map
+    over the scan (no shuffle), so this trades CPU for zero extra
+    Exchanges; a production pipeline materializing the shingle table
+    once (cache()/snapshot) drops straight in via _shingles."""
     cand = dd_minhash_lsh(spark, sf)
     sh = _shingles(spark, sf)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
