@@ -310,7 +310,15 @@ def _write_scaling_md(low, high, factor, out, eff, ceiling, normalized):
         "steal, not the job. 8→32 numbers from earlier rounds are in "
         "git history (the VM ceiling there is ~0.70, so that window "
         "measures the hypervisor, not the engine).\n"
+        + _extra_notes()
     )
+
+
+def _extra_notes() -> str:
+    """Free-form measurement notes survive regeneration: they live in
+    BENCH/NOTES.md and are appended to every generated BASELINE.md."""
+    p = Path("BENCH/NOTES.md")
+    return ("\n" + p.read_text()) if p.exists() else ""
 
 
 if __name__ == "__main__":
