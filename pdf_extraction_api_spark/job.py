@@ -33,6 +33,15 @@ def main(argv: list[str] | None = None) -> int:
                          "of html payloads stays within executor memory")
     ap.add_argument("--stats", action="store_true",
                     help="print run statistics JSON to stdout")
+    ap.add_argument("--compact", action="store_true",
+                    help="maintenance mode: rewrite the results table "
+                         "into few files (full-snapshot commit) "
+                         "instead of extracting")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="maintenance mode: delete data files no "
+                         "longer reachable from the current read set")
+    ap.add_argument("--target-files", type=int, default=8,
+                    help="file count --compact aims for")
     args = ap.parse_args(argv)
 
     # imports AFTER argparse: a bad invocation should print usage, not
@@ -57,6 +66,19 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     cat = SnapshotCatalog(args.warehouse)
+
+    if args.compact or args.vacuum:
+        if args.compact:
+            m = cat.compact(spark, "results",
+                            target_files=args.target_files,
+                            run_id=args.run_id)
+            print(json.dumps(
+                {"compacted": bool(m),
+                 "files": len(m["files"]) if m else 0}))
+        if args.vacuum:
+            deleted = cat.vacuum("results")
+            print(json.dumps({"vacuumed_files": len(deleted)}))
+        return 0
 
     pages = load_pages(spark, args.pages)
     if args.resume:
