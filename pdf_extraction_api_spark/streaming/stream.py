@@ -46,9 +46,20 @@ def start_extraction_stream(
     stream = read_pages_stream(spark, pages_path)
 
     def commit_batch(batch_df: DataFrame, batch_id: int):
-        results = run_extraction(batch_df, with_lineage=True)
-        flat = results.drop("tables", "spans")
-        catalog.append(flat, table, run_id=f"batch-{batch_id:06d}")
+        from ..plans.extract import audit_metrics
+
+        run_id = f"batch-{batch_id:06d}"
+        results = run_extraction(batch_df, with_lineage=True).cache()
+        try:
+            flat = results.drop("tables", "spans")
+            catalog.append(flat, table, run_id=run_id)
+            # per-partition lineage for the streaming path too
+            # (north_rule); append is idempotent per run_id, so a
+            # crash-replayed batch commits neither table twice
+            catalog.append(audit_metrics(results, run_id),
+                           f"{table}_audit", run_id=run_id)
+        finally:
+            results.unpersist()
 
     return (
         stream.writeStream.foreachBatch(commit_batch)

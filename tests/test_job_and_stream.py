@@ -89,6 +89,12 @@ def test_streaming_extraction(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert cat.read(spark, "stream_results").count() == 200
+    # the streaming path emits per-partition lineage too (north_rule):
+    # every input row accounted for across the microbatch audits
+    audit = cat.read(spark, "stream_results_audit")
+    rows = audit.groupBy().sum("input_rows", "errors").collect()[0]
+    assert rows[0] == 200 and rows[1] == 0
+    assert audit.select("run_id").distinct().count() >= 1
 
 
 def test_streaming_windowed_counts(spark, tmp_path):
