@@ -20,7 +20,9 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True)
+    ap.add_argument("--pages",
+                    help="pages table path (required unless running a "
+                         "maintenance mode)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--resume", action="store_true",
@@ -42,7 +44,16 @@ def main(argv: list[str] | None = None) -> int:
                          "longer reachable from the current read set")
     ap.add_argument("--target-files", type=int, default=8,
                     help="file count --compact aims for")
+    ap.add_argument("--table", default="results",
+                    help="table the maintenance modes operate on "
+                         "(e.g. 'results' or 'audit')")
+    ap.add_argument("--vacuum-grace", type=int, default=900,
+                    help="seconds a data file must be old before "
+                         "--vacuum may reclaim it (in-flight append "
+                         "protection)")
     args = ap.parse_args(argv)
+    if not (args.compact or args.vacuum) and not args.pages:
+        ap.error("--pages is required unless --compact/--vacuum")
 
     # imports AFTER argparse: a bad invocation should print usage, not
     # a Spark/module traceback (spark-submit sets sys.path[0] to the
@@ -69,15 +80,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.compact or args.vacuum:
         if args.compact:
-            m = cat.compact(spark, "results",
+            m = cat.compact(spark, args.table,
                             target_files=args.target_files,
                             run_id=args.run_id)
             print(json.dumps(
-                {"compacted": bool(m),
+                {"table": args.table, "compacted": bool(m),
                  "files": len(m["files"]) if m else 0}))
         if args.vacuum:
-            deleted = cat.vacuum("results")
-            print(json.dumps({"vacuumed_files": len(deleted)}))
+            deleted = cat.vacuum(args.table,
+                                 grace_seconds=args.vacuum_grace)
+            print(json.dumps({"table": args.table,
+                              "vacuumed_files": len(deleted)}))
         return 0
 
     pages = load_pages(spark, args.pages)

@@ -142,39 +142,51 @@ def _band_keys(spark, sf) -> DataFrame:
     ).select("doc_id", F.concat_ws("|", "bs.band", "bs.sig").alias("key"))
 
 
-def dd_minhash_lsh(spark, sf):
-    """MinHash+LSH candidate pairs: docs sharing any band signature are
-    candidates. Buckets larger than LSH_BUCKET_CAP are dropped (a viral
-    boilerplate signature would otherwise emit |bucket|² pairs).
+def capped_bucket_pairs(df: DataFrame, key: str, id_col: str,
+                        cap: int) -> DataFrame:
+    """(key, id) rows → candidate (key, doc_a, doc_b) pairs within
+    same-key buckets of 2..cap members — the shared LSH candidate
+    shape (dd_minhash_lsh here, dd_embed_lsh in vectorops).
 
     Shape: hash-agg bucket counts → semi-join the surviving keys
     (Exchange on `key` is reused between the two aggs) → per-key
     collect_list bounded by the cap (never a mega-array: oversized
     keys are already gone) → MAP-SIDE pair expansion from the sorted
-    doc array. No window sort, no self-join — measured 3.7x faster
+    id array. No window sort, no self-join — measured 3.7x faster
     than the windowed-count + self-join variant at sf0.1 and strictly
     bounded memory per key at 100 TB."""
-    sigs = _band_keys(spark, sf)
+    keyed = df.select(F.col(key).alias("key"),
+                      F.col(id_col).alias("_id"))
     keep = (
-        sigs.groupBy("key").count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= LSH_BUCKET_CAP))
+        keyed.groupBy("key").count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .select("key")
     )
     buckets = (
-        sigs.join(keep, "key")
+        keyed.join(keep, "key")
         .groupBy("key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
     )
-    pairs = buckets.select(
+    return buckets.select(
+        "key",
         F.explode(
             F.flatten(F.expr(
-                "transform(ds, (x, i) ->"
-                " transform(slice(ds, i + 2, size(ds)),"
+                "transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)),"
                 "           y -> struct(x AS doc_a, y AS doc_b)))"
             ))
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+        ).alias("p"),
+    ).select("key", "p.doc_a", "p.doc_b")
+
+
+def dd_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs: docs sharing any band signature are
+    candidates. Buckets larger than LSH_BUCKET_CAP are dropped (a viral
+    boilerplate signature would otherwise emit |bucket|² pairs); see
+    capped_bucket_pairs for the plan shape."""
+    sigs = _band_keys(spark, sf)
+    return (capped_bucket_pairs(sigs, "key", "doc_id", LSH_BUCKET_CAP)
+            .select("doc_a", "doc_b").distinct())
 
 
 _CAPPED_SIGS_SQL = f"""

@@ -193,8 +193,11 @@ def ann_ivf_probe(spark, sf):
     # centroids as dim map-side-combinable aggregates (the dd_simhash
     # pattern) — a posexplode would push a dim× row blowup through the
     # shuffle; this shuffles one row per (label, partition). The
-    # dimension is schema discovery (one head row), not data movement.
-    dim = len(e.select("embedding").head()[0])
+    # dimension is schema discovery (one head row — tolerate an empty
+    # table or a NULL first embedding by falling back to DIM).
+    first = e.select("embedding").head()
+    dim = (len(first[0]) if first is not None and first[0] is not None
+           else DIM)
     cent = (
         e.groupBy("label")
         .agg(*[
@@ -335,33 +338,16 @@ def dd_embed_lsh(spark, sf):
             ) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(N_PLANES)
     ]
+    from .textops import capped_bucket_pairs
+
     sig = sum(bits[1:], bits[0]).alias("sig")
     signed = e.select("vec_id", "embedding", sig)
-    # aggregate-then-expand (the dd_minhash_lsh shape): bucket counts
-    # via hash agg, drop oversized buckets, generate candidate id
-    # pairs MAP-SIDE from each bucket's sorted id array — no
-    # self-join, per-bucket memory bounded by the cap
-    keep = (
-        signed.groupBy("sig").count()
-        .filter((F.col("count") >= 2)
-                & (F.col("count") <= EMBED_BUCKET_CAP))
-        .select("sig")
+    # aggregate-then-expand with a bucket cap — shared plan shape with
+    # dd_minhash_lsh (textops.capped_bucket_pairs)
+    cand = (
+        capped_bucket_pairs(signed, "sig", "vec_id", EMBED_BUCKET_CAP)
+        .select("doc_a", "doc_b", F.col("key").cast("int").alias("bucket"))
     )
-    buckets = (
-        signed.join(keep, "sig")
-        .groupBy("sig")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-    )
-    cand = buckets.select(
-        F.col("sig"),
-        F.explode(
-            F.flatten(F.expr(
-                "transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids)),"
-                "           y -> struct(x AS doc_a, y AS doc_b)))"
-            ))
-        ).alias("p"),
-    ).select("p.doc_a", "p.doc_b", F.col("sig").cast("int").alias("bucket"))
     # exact cosine verification of the candidates
     a = _with_norm(e, "embedding", "q").select(
         F.col("q_id").alias("doc_a"), "q_v", "q_norm")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from pathlib import Path
@@ -66,11 +67,9 @@ class SnapshotCatalog:
         manifest references and dangle every subsequent read().
         """
         tdir = self._tdir(table)
-        # manifests are named manifest-<seq>-<run_id>.json, so the
-        # committed check is one glob, not a parse of all history
-        prior = sorted(tdir.glob(f"manifest-*-{run_id}.json"))
-        if prior:
-            return json.loads(prior[-1].read_text())
+        prior = self._manifest_for(tdir, run_id)
+        if prior is not None:
+            return prior
         data_dir = tdir / "data" / run_id
         df.write.mode("overwrite").parquet(str(data_dir))
         files = sorted(
@@ -87,6 +86,20 @@ class SnapshotCatalog:
             "committed_at_unix": int(time.time()),
         }
         return self._commit(tdir, manifest)
+
+    @staticmethod
+    def _manifest_for(tdir: Path, run_id: str) -> dict | None:
+        """Latest committed manifest for exactly this run_id.
+        Filenames are manifest-<9 digits>-<run_id>.json; the glob
+        candidates are re-checked with an anchored regex because a
+        bare 'manifest-*-{run_id}.json' glob lets '*' absorb
+        '<seq>-<other-prefix>' and match foreign run_ids whose name
+        merely ends with this one (e.g. 'nightly-r1' vs 'r1')."""
+        pat = re.compile(
+            rf"manifest-\d{{9}}-{re.escape(run_id)}\.json\Z")
+        hits = sorted(p for p in tdir.glob(f"manifest-*-{run_id}.json")
+                      if pat.fullmatch(p.name))
+        return json.loads(hits[-1].read_text()) if hits else None
 
     def _commit(self, tdir, manifest: dict) -> dict:
         tmp = tdir / f".manifest-{uuid.uuid4().hex}.tmp"
@@ -106,11 +119,17 @@ class SnapshotCatalog:
         or the new one (manifest rename is the atomic switch); old
         data files stay on disk for time-travel/GC, exactly like
         Iceberg's expire_snapshots being a separate step. Idempotent
-        per run_id like append()."""
+        per run_id like append() — but a run_id already used by an
+        APPEND is rejected instead of silently reported as compacted."""
         tdir = self._tdir(table)
-        prior = sorted(tdir.glob(f"manifest-*-{run_id}.json"))
-        if prior:
-            return json.loads(prior[-1].read_text())
+        prior = self._manifest_for(tdir, run_id)
+        if prior is not None:
+            if not prior.get("full_snapshot"):
+                raise ValueError(
+                    f"run_id {run_id!r} was already used by an append "
+                    f"commit on {table!r}; pick a distinct maintenance "
+                    "run_id")
+            return prior
         current = self.read(spark, table)
         if current is None:
             return None
@@ -130,13 +149,21 @@ class SnapshotCatalog:
         }
         return self._commit(tdir, manifest)
 
-    def vacuum(self, table: str) -> list[str]:
+    def vacuum(self, table: str, *,
+               grace_seconds: int = 900) -> list[str]:
         """GC companion to compact() (Iceberg expire_snapshots +
         remove_orphan_files semantics): delete data files no longer
         reachable from the current read set (files superseded by the
-        latest full snapshot). Manifests are kept — append()'s
-        per-run_id idempotency and the audit trail stay intact; only
-        unreferenced bytes are reclaimed. Returns the deleted paths."""
+        latest full snapshot, or left by crashed runs). Manifests are
+        kept — append()'s per-run_id idempotency and the audit trail
+        stay intact; only unreferenced bytes are reclaimed.
+
+        Files younger than `grace_seconds` are NEVER touched: an
+        append in flight writes its data files before its manifest, so
+        without the age cutoff a concurrent vacuum would delete the
+        files a writer is about to commit (the same reason Iceberg's
+        remove_orphan_files defaults to older-than-3-days). Returns
+        the deleted paths."""
         tdir = self._tdir(table)
         live: set[str] = set()
         for m in self._manifests(table):
@@ -148,16 +175,18 @@ class SnapshotCatalog:
         data_root = tdir / "data"
         if not data_root.exists():
             return deleted
+        cutoff = time.time() - grace_seconds
         for p in sorted(data_root.rglob("*")):
             if p.is_file():
                 rel = str(p.relative_to(tdir))
-                if rel not in live and rel.endswith(".parquet"):
+                if (rel not in live and rel.endswith(".parquet")
+                        and p.stat().st_mtime < cutoff):
                     p.unlink()
                     deleted.append(rel)
         return deleted
 
-    def read(self, spark: SparkSession, table: str,
-             *, all_snapshots: bool = True) -> DataFrame | None:
+    def read(self, spark: SparkSession,
+             table: str) -> DataFrame | None:
         """Read the current table: the union of manifests since (and
         including) the latest full snapshot — append manifests add
         files, a full_snapshot manifest (compaction) replaces
@@ -174,8 +203,6 @@ class SnapshotCatalog:
                 if f not in seen:
                     seen.add(f)
                     paths.append(str(tdir / f))
-            if not all_snapshots:
-                paths = [str(tdir / f) for f in info["files"]]
         if not paths:
             return None
         return spark.read.parquet(*paths)

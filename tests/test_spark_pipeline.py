@@ -238,18 +238,30 @@ def test_snapshot_catalog_resume(spark, tmp_path):
     cat.append(extra, "results", run_id="run3")
     assert cat.read(spark, "results").count() == 203
 
-    # vacuum reclaims only files superseded by the full snapshot:
-    # reads are unaffected, manifests (and so run_id idempotency) stay
-    deleted = cat.vacuum("results")
-    assert deleted  # run1/run2's superseded parts + the crashed run
+    # vacuum with default grace never touches fresh files (in-flight
+    # append protection) …
+    assert cat.vacuum("results") == []
+    # … but with the grace waived it reclaims exactly the files
+    # superseded by the full snapshot + the crashed run's orphans;
+    # reads unaffected, manifests (and so run_id idempotency) stay
+    deleted = cat.vacuum("results", grace_seconds=0)
+    assert deleted
     assert all(d.startswith(("data/run", "data/crashed"))
                for d in deleted)
     assert any(d.startswith("data/crashed") for d in deleted)
     assert cat.read(spark, "results").count() == 203
-    assert cat.vacuum("results") == []  # second pass: nothing left
+    assert cat.vacuum("results", grace_seconds=0) == []  # nothing left
     m2 = cat.append(extra, "results", run_id="run3")  # still a no-op
     assert m2["run_id"] == "run3"
     assert cat.read(spark, "results").count() == 203
+    # compaction refuses a run_id already used by an append
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already used by an append"):
+        cat.compact(spark, "results", run_id="run3")
+    # …and a foreign run_id that merely ENDS with ours never matches
+    # (the suffix-glob collision): 'un3' must not reuse run3's manifest
+    m3 = cat.append(extra.limit(1), "results", run_id="un3")
+    assert m3["files"] != m2["files"]
 
 
 def test_spark_path_matches_refkernel_fresh_seed(spark, tmp_path):
