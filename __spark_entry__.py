@@ -74,7 +74,7 @@ def _registry() -> dict[str, tuple]:
              or n.startswith(("dd_", "ann_", "tx_", "mm_", "ex", "vec_",
                               "s5_", "s6_", "a9_", "c12_", "u4_",
                               "f10_", "j6_", "q18_", "a14_", "a15_",
-                              "c22_", "c23_"))]
+                              "c22_", "c23_", "c24_"))]
     out: dict[str, tuple] = {n: merged[n] for n in first}
     for n, v in merged.items():
         out.setdefault(n, v)

@@ -257,6 +257,37 @@ GROUP BY 1
 """
 
 
+def c24_map_ops(spark, sf):
+    """MAP<STRING,STRING> round-trip (the reference's open-schema
+    metadata dict, SURVEY.md §1.2): build per-row maps, extract by
+    key, measure cardinality — output flattened to plain columns for
+    the driver's hash harness."""
+    d = T(spark, sf, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"),
+        F.lit("src"), F.col("source"),
+        F.lit("size"), F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        m["lang"].alias("meta_lang"),
+        m["size"].alias("meta_size"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+C24_SQL = """
+SELECT doc_id,
+       map_extract(m, 'lang')[1] AS meta_lang,
+       map_extract(m, 'size')[1] AS meta_size,
+       CAST(cardinality(m) AS INT) AS n_keys
+FROM (SELECT doc_id,
+             map(['lang', 'src', 'size'],
+                 [lang, source, CAST(n_chars AS VARCHAR)]) AS m
+      FROM documents)
+"""
+
+
 def c13_format_string(spark, sf):
     """C13 filename generation format."""
     li = T(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 200)
@@ -441,6 +472,7 @@ QUERIES = {
     "c12_base64": (c12_base64, C12_SQL),
     "c22_date_trunc": (c22_date_trunc, C22_SQL),
     "c23_levenshtein": (c23_levenshtein, C23_SQL),
+    "c24_map_ops": (c24_map_ops, C24_SQL),
     "c13_format_string": (c13_format_string, C13_SQL),
     "c14_date_format": (c14_date_format, C14_SQL),
     "c15_exhibit_regex": (c15_exhibit_regex, C15_SQL),
