@@ -64,21 +64,48 @@ def _registry() -> dict[str, tuple]:
                   VIDEO_QUERIES, GROUPED_QUERIES, KERNEL_QUERIES,
                   BIN_QUERIES):
         merged.update(group)
-    # Emission order matters: round 1's driver gate recorded exactly 50
-    # of 71 queries, and the 21 it never saw were the ones registered
-    # last (dd_/ann_/tx_/mm_/ex_). Emit previously-unverified queries
-    # first so a capped/ time-budgeted harness covers them this round;
-    # the remainder were all driver-green in round 1.
-    first = [n for n in merged
-             if n in ("c7_units_filter", "c9_tickers")
-             or n.startswith(("dd_", "ann_", "tx_", "mm_", "ex", "vec_",
-                              "s5_", "s6_", "a9_", "c12_", "u4_",
-                              "f10_", "j6_", "q18_", "a14_", "a15_",
-                              "c22_", "c23_", "c24_"))]
-    out: dict[str, tuple] = {n: merged[n] for n in first}
-    for n, v in merged.items():
-        out.setdefault(n, v)
-    return out
+    # Emission order matters: the driver gate verifies a capped prefix
+    # (50 rows/round), so a fixed order would leave the tail unverified
+    # forever. Rotate by least-recently-verified: read the committed
+    # CORRECTNESS_r*.json results and emit never-verified queries
+    # first, then oldest-verified — every query is re-verified at
+    # least every ceil(N/cap) rounds, deterministically.
+    last_seen = _last_verified_round()
+    order = sorted(merged, key=lambda n: (last_seen.get(n, -1), n))
+    return {n: merged[n] for n in order}
+
+
+def _last_verified_round() -> dict[str, int]:
+    """query name → most recent round whose committed CORRECTNESS file
+    recorded it as ran (rows_match true). Missing/unparseable files are
+    skipped; an empty dict degrades to plain name order."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent
+    seen: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            # "verified" = ran without error and didn't mismatch —
+            # rows-only entries (err == "no_oracle", spark_rows set)
+            # count as seen, but errored/red rows sort first for a
+            # retry.
+            if (isinstance(row, dict)
+                    and row.get("err") in (None, "no_oracle")
+                    and row.get("spark_rows") is not None
+                    and row.get("rows_match") is not False
+                    and row.get("hash_match") is not False):
+                seen[name] = max(seen.get(name, rnd), rnd)
+    return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
