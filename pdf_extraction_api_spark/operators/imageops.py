@@ -453,8 +453,62 @@ def mm_image_resize(spark, sf):
     return imgs.mapInPandas(run, schema=_RESIZE_SCHEMA)
 
 
+_DIMS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("img_kind", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mode", StringType()),
+])
+
+
+def mm_image_dims(spark, sf):
+    """Oracle-checked decode round-trip: generate → PNG-encode →
+    PNG-decode → report (kind, width, height, mode). The synthetic
+    corpus derives every dimension from doc_id arithmetic
+    (_gen_image), so a pure-SQL oracle reconstructs the expected
+    values — any codec bug (wrong scanline filter, channel mixup,
+    truncated IDAT) breaks the hash match. This is the hard-signal
+    cousin of the rows-only metric queries."""
+    imgs = image_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import png as pngc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["img_kind"].values,
+                    pdf["png"].values):
+                arr = pngc.decode(bytes(blob))
+                rows.append({
+                    "doc_id": int(doc_id), "img_kind": kind,
+                    "width": int(arr.shape[1]),
+                    "height": int(arr.shape[0]),
+                    "mode": "RGB" if arr.ndim == 3 else "L",
+                })
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, schema=_DIMS_SCHEMA)
+
+
+# mirrors _gen_image: h = 48 + 13*id % 48, w = 48 + 29*id % 80,
+# kind = _KINDS[id % 5], RGB iff id % 3 == 0
+MM_DIMS_SQL = f"""
+SELECT doc_id,
+       {list(_KINDS)!r}[CAST(doc_id % 5 AS INT) + 1] AS img_kind,
+       CAST(48 + (doc_id * 29) % 80 AS INT) AS width,
+       CAST(48 + (doc_id * 13) % 48 AS INT) AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 'RGB' ELSE 'L' END AS mode
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_image_metrics": (mm_image_metrics, None),
     "mm_image_enhance": (mm_image_enhance, None),
     "mm_image_resize": (mm_image_resize, None),
+    "mm_image_dims": (mm_image_dims, MM_DIMS_SQL),
 }

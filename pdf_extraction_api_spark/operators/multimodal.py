@@ -2,16 +2,16 @@
 
 This module keeps the generic binary plumbing (BinaryType columns,
 mapInPandas batch shapes, typed metadata structs, frame-sampling UDTF
-expansion) with a deterministic decode stub (`_fake_decode`) for
-formats this container genuinely cannot decode. The REAL decode paths
-live next door: `operators/imageops.py` (pure-stdlib PNG codec + numpy
-metrics/enhance/resize) and `operators/audioops.py` (stdlib WAV decode
-+ numpy features) — swap `_fake_decode` for PIL/cv2/ffmpeg on a
-cluster that has them; nothing else changes.
+expansion). The REAL decode paths live next door:
+`operators/imageops.py` (pure-stdlib PNG codec + numpy
+metrics/enhance/resize, incl. the oracled mm_image_dims decode check)
+and `operators/audioops.py` (stdlib WAV decode + numpy features).
 
-mm_binary_meta has a full DuckDB oracle (pure byte-level ops);
-mm_decode_stub / mm_frame_sample are rows-only (Python batch logic).
-"""
+Both queries here are fully oracle-checked: mm_binary_meta is pure
+byte-level ops, and mm_frame_sample's frame slices are byte-offset
+arithmetic over the (ASCII) payload, so DuckDB reconstructs the same
+md5s with substring() — md5(VARCHAR) hashes UTF-8 bytes on both
+engines."""
 
 from __future__ import annotations
 
@@ -23,7 +23,6 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -60,53 +59,6 @@ SELECT doc_id,
        upper(substring(hex(encode(text)), 1, 16)) AS head_hex
 FROM documents
 """
-
-_DECODE_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
-    StructField("n_bytes", LongType()),
-    StructField("width", IntegerType()),
-    StructField("height", IntegerType()),
-    StructField("mode", StringType()),
-])
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic decode STUB. Real deployment:
-
-        raise NotImplementedError("install pillow and decode here")
-
-    Here: fake dimensions derived from payload bytes so the batch
-    plumbing is exercised end-to-end and assertable."""
-    n = len(payload)
-    return 16 + n % 640, 16 + (n * 7) % 480, "RGB" if n % 2 else "L"
-
-
-def _decode_batches(
-    batches: Iterator["pd.DataFrame"],
-) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
-
-    for pdf in batches:
-        w, h, m, nb = [], [], [], []
-        for payload in pdf["payload"].values:
-            payload = payload if payload is not None else b""
-            fw, fh, fm = _fake_decode(payload)
-            nb.append(len(payload))
-            w.append(fw)
-            h.append(fh)
-            m.append(fm)
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"].values,
-            "n_bytes": nb, "width": w, "height": h, "mode": m,
-        })
-
-
-def mm_decode_stub(spark, sf):
-    """Decode/feature-extract over binary payloads via mapInPandas
-    (Arrow-batched; the N1-N5 pandas-UDF shape from SURVEY.md §2.8)."""
-    return _payloads(spark, sf).mapInPandas(
-        _decode_batches, schema=_DECODE_SCHEMA)
-
 
 _FRAME_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -148,8 +100,26 @@ def mm_frame_sample(spark, sf):
                      F.md5("frame_bytes").alias("frame_md5"))
 
 
+# The payload is ASCII (encode(text) byte-length == char-length on the
+# test corpora), so Python's byte slicing equals substring() char
+# slicing and the k/step arithmetic ports verbatim. A slice starting
+# past the end is '' on both engines (md5('') agrees).
+MM_FRAME_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         least(3, greatest(1, length(text) // 100)) AS k,
+         greatest(1, length(text)
+                     // least(3, greatest(1, length(text) // 100)))
+           AS step
+  FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       md5(substring(text, CAST(i * step + 1 AS BIGINT), 16))
+         AS frame_md5
+FROM f, LATERAL (SELECT unnest(range(k)) AS i) t
+"""
+
+
 QUERIES = {
     "mm_binary_meta": (mm_binary_meta, MM_META_SQL),
-    "mm_decode_stub": (mm_decode_stub, None),
-    "mm_frame_sample": (mm_frame_sample, None),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SQL),
 }

@@ -124,6 +124,12 @@ def run_extraction(
     `carry` names extra pages columns to pass through the kernel
     unchanged (e.g. ("lang",)) so per-attribute rollups need no join
     back to the scan."""
+    clash = set(carry) & {f.name for f in KERNEL_SCHEMA.fields}
+    if clash:
+        raise ValueError(
+            f"carry columns {sorted(clash)} collide with kernel output "
+            "columns — they would silently overwrite kernel values and "
+            "duplicate fields in the result schema")
     src = pages.select("url", "html", *carry)
     if salt_partitions:
         # explicit skew defusal for pathological input layouts

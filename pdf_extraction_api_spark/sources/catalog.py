@@ -31,7 +31,18 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A maintenance commit lost a race with a concurrent append."""
+
+
 class SnapshotCatalog:
+    # commit lock: manifest sequence assignment + rename happen under
+    # an O_EXCL lock file so two writers can never mint the same
+    # sequence number (Iceberg gets this from the catalog's atomic
+    # swap; a plain filesystem needs the explicit mutex)
+    LOCK_TIMEOUT = 60.0
+    LOCK_STALE = 300.0
+
     def __init__(self, root: str):
         self.root = Path(root)
 
@@ -62,13 +73,20 @@ class SnapshotCatalog:
         Idempotent per run_id: re-appending an already-committed run_id
         (the foreachBatch crash-replay path — a batch that committed
         but wasn't checkpointed is re-run with the same batch id) is a
-        no-op returning the existing manifest. Without this, the
-        mode("overwrite") below would delete the part files the earlier
-        manifest references and dangle every subsequent read().
+        no-op returning the existing manifest — unless that run_id was
+        consumed by a COMPACTION, which is an error (the new batch's
+        rows would silently never land otherwise). Without the no-op,
+        the mode("overwrite") below would delete the part files the
+        earlier manifest references and dangle every subsequent read().
         """
         tdir = self._tdir(table)
         prior = self._manifest_for(tdir, run_id)
         if prior is not None:
+            if prior.get("full_snapshot"):
+                raise ValueError(
+                    f"run_id {run_id!r} was already used by a compaction "
+                    f"commit on {table!r}; appending under it would be "
+                    "silently dropped — pick a distinct run_id")
             return prior
         data_dir = tdir / "data" / run_id
         df.write.mode("overwrite").parquet(str(data_dir))
@@ -76,16 +94,17 @@ class SnapshotCatalog:
             str(p.relative_to(tdir))
             for p in data_dir.glob("*.parquet")
         )
-        prev = self.last_snapshot(table)
-        seq = (prev["sequence"] + 1) if prev else 1
-        manifest = {
-            "sequence": seq,
-            "run_id": run_id,
-            "files": files,
-            "parent": prev["run_id"] if prev else None,
-            "committed_at_unix": int(time.time()),
-        }
-        return self._commit(tdir, manifest)
+        with self._commit_lock(tdir):
+            prev = self.last_snapshot(table)
+            seq = (prev["sequence"] + 1) if prev else 1
+            manifest = {
+                "sequence": seq,
+                "run_id": run_id,
+                "files": files,
+                "parent": prev["run_id"] if prev else None,
+                "committed_at_unix": int(time.time()),
+            }
+            return self._commit(tdir, manifest)
 
     @staticmethod
     def _manifest_for(tdir: Path, run_id: str) -> dict | None:
@@ -109,6 +128,46 @@ class SnapshotCatalog:
         os.replace(tmp, final)  # atomic commit point
         return manifest
 
+    def _commit_lock(self, tdir: Path):
+        """Exclusive inter-process lock for the [decide sequence →
+        rename manifest] window. O_EXCL create is atomic on POSIX;
+        a lock older than LOCK_STALE (a crashed committer) is broken.
+        Sequence numbers are therefore unique even with concurrent
+        append/compact writers."""
+        import contextlib
+
+        lock = tdir / ".commit.lock"
+
+        @contextlib.contextmanager
+        def held():
+            tdir.mkdir(parents=True, exist_ok=True)
+            deadline = time.monotonic() + self.LOCK_TIMEOUT
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - lock.stat().st_mtime > \
+                                self.LOCK_STALE:
+                            lock.unlink(missing_ok=True)
+                            continue
+                    except OSError:
+                        continue  # holder released between stat/unlink
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"commit lock on {tdir} held for >"
+                            f"{self.LOCK_TIMEOUT}s") from None
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                lock.unlink(missing_ok=True)
+
+        return held()
+
     def compact(self, spark: SparkSession, table: str,
                 *, target_files: int = 8,
                 run_id: str = "compaction") -> dict | None:
@@ -120,7 +179,15 @@ class SnapshotCatalog:
         data files stay on disk for time-travel/GC, exactly like
         Iceberg's expire_snapshots being a separate step. Idempotent
         per run_id like append() — but a run_id already used by an
-        APPEND is rejected instead of silently reported as compacted."""
+        APPEND is rejected instead of silently reported as compacted.
+
+        Safe against a concurrent append: the rewrite is read from a
+        pinned snapshot, and the commit re-checks (under the commit
+        lock) that no manifest landed after that snapshot — if one
+        did, the full_snapshot commit would silently supersede the
+        concurrent append's rows, so compact raises
+        ConcurrentCommitError instead (rerun it; the orphaned rewrite
+        files are vacuum()'s job)."""
         tdir = self._tdir(table)
         prior = self._manifest_for(tdir, run_id)
         if prior is not None:
@@ -130,7 +197,10 @@ class SnapshotCatalog:
                     f"commit on {table!r}; pick a distinct maintenance "
                     "run_id")
             return prior
-        current = self.read(spark, table)
+        pinned = self.last_snapshot(table)
+        if pinned is None:
+            return None
+        current = self.read(spark, table, as_of=pinned["sequence"])
         if current is None:
             return None
         data_dir = tdir / "data" / run_id
@@ -138,16 +208,23 @@ class SnapshotCatalog:
             str(data_dir))
         files = sorted(
             str(p.relative_to(tdir)) for p in data_dir.glob("*.parquet"))
-        prev = self.last_snapshot(table)
-        manifest = {
-            "sequence": prev["sequence"] + 1,
-            "run_id": run_id,
-            "files": files,
-            "parent": prev["run_id"],
-            "committed_at_unix": int(time.time()),
-            "full_snapshot": True,  # supersedes earlier manifests
-        }
-        return self._commit(tdir, manifest)
+        with self._commit_lock(tdir):
+            prev = self.last_snapshot(table)
+            if prev is None or prev["sequence"] != pinned["sequence"]:
+                raise ConcurrentCommitError(
+                    f"table {table!r} advanced from sequence "
+                    f"{pinned['sequence']} to "
+                    f"{prev['sequence'] if prev else None} while "
+                    "compacting; rerun compact()")
+            manifest = {
+                "sequence": prev["sequence"] + 1,
+                "run_id": run_id,
+                "files": files,
+                "parent": prev["run_id"],
+                "committed_at_unix": int(time.time()),
+                "full_snapshot": True,  # supersedes earlier manifests
+            }
+            return self._commit(tdir, manifest)
 
     def vacuum(self, table: str, *,
                grace_seconds: int = 900) -> list[str]:
@@ -158,44 +235,88 @@ class SnapshotCatalog:
         kept — append()'s per-run_id idempotency and the audit trail
         stay intact; only unreferenced bytes are reclaimed.
 
-        Files younger than `grace_seconds` are NEVER touched: an
-        append in flight writes its data files before its manifest, so
-        without the age cutoff a concurrent vacuum would delete the
-        files a writer is about to commit (the same reason Iceberg's
-        remove_orphan_files defaults to older-than-3-days). Returns
-        the deleted paths."""
+        The grace window protects BOTH in-flight writers and in-flight
+        readers:
+
+        - writers: an append writes data files before its manifest, so
+          a file younger than `grace_seconds` (mtime) is never touched
+          (the reason Iceberg's remove_orphan_files defaults to
+          older-than-3-days);
+        - readers: files superseded by a compaction have OLD mtimes
+          but may still be mid-scan in a query that resolved its path
+          list before the compaction committed — so a file that was
+          ever committed is additionally gated on time since the
+          full-snapshot commit that superseded it (committed_at_unix),
+          not just its own mtime.
+
+        Sidecars (_SUCCESS, .crc) and emptied run directories of
+        superseded or crashed runs are removed once every data file in
+        the directory is gone. Returns the deleted paths."""
         tdir = self._tdir(table)
         live: set[str] = set()
+        ever_listed: set[str] = set()
+        superseded_at = 0  # latest full-snapshot commit time
         for m in self._manifests(table):
             info = json.loads(m.read_text())
             if info.get("full_snapshot"):
                 live.clear()
+                superseded_at = max(superseded_at,
+                                    info.get("committed_at_unix", 0))
             live.update(info["files"])
+            ever_listed.update(info["files"])
         deleted = []
         data_root = tdir / "data"
         if not data_root.exists():
             return deleted
-        cutoff = time.time() - grace_seconds
-        for p in sorted(data_root.rglob("*")):
-            if p.is_file():
-                rel = str(p.relative_to(tdir))
-                if (rel not in live and rel.endswith(".parquet")
-                        and p.stat().st_mtime < cutoff):
-                    p.unlink()
-                    deleted.append(rel)
+        now = time.time()
+        cutoff = now - grace_seconds
+        for p in sorted(data_root.rglob("*.parquet")):
+            if not p.is_file():
+                continue
+            rel = str(p.relative_to(tdir))
+            if rel in live or p.stat().st_mtime >= cutoff:
+                continue
+            if rel in ever_listed and superseded_at >= cutoff:
+                continue  # superseded too recently — reader grace
+            p.unlink()
+            deleted.append(rel)
+        # second pass: clear sidecars and rmdir run dirs that no
+        # longer hold any parquet data (all deleted above, or a
+        # crashed run whose files aged out) — same time gates apply.
+        for rundir in sorted(data_root.iterdir()):
+            if not rundir.is_dir():
+                continue
+            leftovers = [q for q in rundir.rglob("*") if q.is_file()]
+            if any(q.suffix == ".parquet" for q in leftovers):
+                continue
+            if any(q.stat().st_mtime >= cutoff for q in leftovers):
+                continue
+            for q in leftovers:
+                rel = str(q.relative_to(tdir))
+                q.unlink()
+                deleted.append(rel)
+            try:
+                rundir.rmdir()
+            except OSError:
+                pass  # a writer recreated it concurrently — leave it
         return deleted
 
-    def read(self, spark: SparkSession,
-             table: str) -> DataFrame | None:
+    def read(self, spark: SparkSession, table: str,
+             as_of: int | None = None) -> DataFrame | None:
         """Read the current table: the union of manifests since (and
         including) the latest full snapshot — append manifests add
         files, a full_snapshot manifest (compaction) replaces
-        everything before it. Uncommitted data files are never read."""
+        everything before it. Uncommitted data files are never read.
+        `as_of` pins the read to manifests with sequence <= as_of
+        (time travel; compact() uses it so its rewrite matches the
+        snapshot it validates against at commit time)."""
         tdir = self._tdir(table)
         paths: list[str] = []
         seen: set[str] = set()
         for m in self._manifests(table):
             info = json.loads(m.read_text())
+            if as_of is not None and info["sequence"] > as_of:
+                continue
             if info.get("full_snapshot"):
                 paths.clear()
                 seen.clear()

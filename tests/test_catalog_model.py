@@ -37,11 +37,13 @@ def test_random_catalog_sequences(spark, tmp_path, seed):
             cat.append(df, "t", run_id=f"r{step}")
             expected.update(rows)
         elif op == "replay" and expected:
-            # crash-replay: same run_id, different data → must be a
-            # no-op (the manifest already exists)
+            # crash-replay: same APPEND run_id, different data → must
+            # be a no-op (the manifest already exists). Reusing a
+            # COMPACTION run_id is an error (guard tested separately).
             df = spark.createDataFrame(
                 [("SHOULD-NOT-APPEAR", -1)], "url STRING, v LONG")
-            prior = [m for m in cat.committed_run_ids("t")]
+            prior = [m for m in cat.committed_run_ids("t")
+                     if m.startswith("r")]
             if prior:
                 cat.append(df, "t", run_id=prior[-1])
         elif op == "crash":
@@ -62,3 +64,127 @@ def test_random_catalog_sequences(spark, tmp_path, seed):
             assert rows == set(expected.items()), (step, op)
         else:
             assert got is None or got.count() == 0
+
+
+def _cat(tmp_path, name):
+    from pdf_extraction_api_spark.sources.catalog import SnapshotCatalog
+
+    return SnapshotCatalog(str(tmp_path / name))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "url STRING, v LONG")
+
+
+def test_append_under_compaction_run_id_raises(spark, tmp_path):
+    """ADVICE r2: append() reusing a run_id consumed by compact() must
+    raise, not silently drop the batch."""
+    cat = _cat(tmp_path, "wh")
+    cat.append(_df(spark, [("a", 1)]), "t", run_id="r1")
+    cat.compact(spark, "t", run_id="m1")
+    with pytest.raises(ValueError, match="compaction"):
+        cat.append(_df(spark, [("b", 2)]), "t", run_id="m1")
+    # table unchanged and the new batch did not land
+    assert {r.url for r in cat.read(spark, "t").collect()} == {"a"}
+
+
+def test_compact_aborts_when_append_races(spark, tmp_path):
+    """ADVICE r2: a compact whose table advanced between its snapshot
+    read and its commit must abort (ConcurrentCommitError) instead of
+    superseding — and never mint a duplicate sequence number."""
+    from pdf_extraction_api_spark.sources.catalog import (
+        ConcurrentCommitError,
+        SnapshotCatalog,
+    )
+
+    cat = _cat(tmp_path, "wh")
+    cat.append(_df(spark, [("a", 1)]), "t", run_id="r1")
+
+    # interleave: once compact has pinned + rewritten, an append lands
+    # before compact's commit. Simulate by committing the append from
+    # inside a subclassed commit-lock acquisition.
+    class Racing(SnapshotCatalog):
+        raced = False
+
+        def _commit_lock(self, tdir):
+            if not Racing.raced:
+                Racing.raced = True
+                clean = SnapshotCatalog(str(self.root))
+                clean.append(_df(spark, [("b", 2)]), "t", run_id="r2")
+            return super()._commit_lock(tdir)
+
+    racing = Racing(str(tmp_path / "wh"))
+    with pytest.raises(ConcurrentCommitError):
+        racing.compact(spark, "t", run_id="m1")
+    # the concurrent append's rows survived; sequences are unique
+    assert {r.url for r in cat.read(spark, "t").collect()} == {"a", "b"}
+    seqs = [m["sequence"] for m in map(
+        lambda p: __import__("json").loads(p.read_text()),
+        sorted((tmp_path / "wh" / "t").glob("manifest-*.json")))]
+    assert len(seqs) == len(set(seqs))
+    # retry succeeds and preserves both rows
+    cat.compact(spark, "t", run_id="m2")
+    assert {r.url for r in cat.read(spark, "t").collect()} == {"a", "b"}
+
+
+def test_vacuum_reader_grace_protects_superseded_files(spark, tmp_path):
+    """Files superseded by a just-committed compaction have old mtimes
+    but must survive vacuum until the supersede event itself ages out
+    — a reader that resolved paths before the compaction may still be
+    scanning them."""
+    import os
+    import time
+
+    cat = _cat(tmp_path, "wh")
+    cat.append(_df(spark, [("a", 1)]), "t", run_id="r1")
+    tdir = tmp_path / "wh" / "t"
+    # age the data files well past any grace window
+    old = time.time() - 3600
+    for p in (tdir / "data").rglob("*"):
+        if p.is_file():
+            os.utime(p, (old, old))
+    # a reader resolves its file list from the pre-compaction snapshot
+    reader_paths = [str(tdir / f)
+                    for f in cat.last_snapshot("t")["files"]]
+    cat.compact(spark, "t", run_id="m1")  # supersedes r1 files NOW
+    deleted = cat.vacuum("t", grace_seconds=600)
+    assert deleted == []  # mtime is old, but supersede is recent
+    for f in reader_paths:
+        assert os.path.exists(f)
+    # once the supersede event is outside the grace window the files go
+    deleted = cat.vacuum("t", grace_seconds=0)
+    time.sleep(1.1)  # int-second commit stamp vs float cutoff
+    deleted += cat.vacuum("t", grace_seconds=0)
+    assert any(f.endswith(".parquet") for f in deleted)
+    assert {r.url for r in cat.read(spark, "t").collect()} == {"a"}
+
+
+def test_vacuum_clears_sidecars_and_empty_dirs(spark, tmp_path):
+    """_SUCCESS/.crc sidecars and emptied run directories of crashed
+    or superseded runs must not accumulate forever."""
+    import os
+    import time
+
+    cat = _cat(tmp_path, "wh")
+    cat.append(_df(spark, [("a", 1)]), "t", run_id="r1")
+    tdir = tmp_path / "wh" / "t"
+    # crashed run: data + sidecars, no manifest
+    _df(spark, [("crash", -1)]).write.mode("overwrite").parquet(
+        str(tdir / "data" / "crashed"))
+    old = time.time() - 3600
+    for p in (tdir / "data").rglob("*"):
+        if p.is_file():
+            os.utime(p, (old, old))
+    cat.vacuum("t", grace_seconds=600)
+    assert not (tdir / "data" / "crashed").exists()
+    # the committed run's files are untouched
+    assert {r.url for r in cat.read(spark, "t").collect()} == {"a"}
+
+
+def test_carry_collision_rejected(spark):
+    from pdf_extraction_api_spark.plans.extract import run_extraction
+
+    pages = spark.createDataFrame(
+        [("u", b"<p>x</p>", "en")], "url STRING, html BINARY, lang STRING")
+    with pytest.raises(ValueError, match="carry"):
+        run_extraction(pages, carry=("url",))

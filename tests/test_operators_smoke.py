@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 EXECUTE_SAMPLE = [
     "a6_mode", "j2_range_join", "d1_dedup_hash", "dd_minhash_lsh",
     "dd_simhash", "ann_ivf_label", "tx_fingerprint", "c9_tickers",
-    "mm_decode_stub", "ex2_kernel_tables",
+    "mm_image_dims", "ex2_kernel_tables",
 ]
 
 
@@ -35,11 +35,11 @@ def test_oracles_cover_queries(registry):
     queries, oracles = registry
     assert set(oracles) <= set(queries)
     rows_only = set(queries) - set(oracles)
-    # only genuinely non-SQL ops may skip the oracle (image decode and
-    # batch-Python expansion aren't SQL-expressible; their values are
-    # property-tested in tests/test_imageops.py instead)
-    assert rows_only == {"mm_decode_stub", "mm_frame_sample",
-                         "mm_image_metrics", "mm_image_enhance",
+    # only genuinely non-SQL ops may skip the oracle (float image/audio
+    # metrics over real decodes aren't SQL-expressible; their values
+    # are property-tested in tests/test_imageops.py etc. — the decode
+    # round-trip itself IS oracled via mm_image_dims)
+    assert rows_only == {"mm_image_metrics", "mm_image_enhance",
                          "mm_image_resize", "mm_audio_features",
                          "mm_video_frames"}
 
@@ -132,3 +132,40 @@ def test_lsh_bucket_cap_bounds_hot_buckets(spark, tmp_path):
     # contributes nothing (cap) instead of ~499500 pairs
     assert (2000, 2001) in {(r.doc_a, r.doc_b) for r in pairs}
     assert len(pairs) < textops.LSH_BUCKET_CAP ** 2 * textops.N_BANDS
+
+
+def test_jaccard_materializes_shingles_once(spark):
+    """dd_ngram_jaccard persists the shingle relation and reuses it on
+    all three consumers — the analyzed plan must read the cached table
+    (InMemoryRelation), not re-run tokenization per reference."""
+    from pdf_extraction_api_spark.operators.textops import (
+        dd_ngram_jaccard,
+    )
+
+    df = dd_ngram_jaccard(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, plan
+    # tokenization (the Generate over the token transform) must not
+    # appear outside the single cached subtree: the optimized plan
+    # shows the cached consumers as InMemoryRelation leaves whose
+    # cacheBuilder repeats the stored plan; count the *scan* sites.
+    assert plan.count("InMemoryRelation") >= 3  # cand + both sides
+
+
+def test_embed_cosine_label_cap(spark, tmp_path):
+    """A mega-label (> LABEL_BLOCK_CAP vectors) must be dropped by the
+    capped pair expansion instead of squaring; small labels still pair
+    exhaustively."""
+    from pdf_extraction_api_spark.operators import vectorops
+
+    n_big = vectorops.LABEL_BLOCK_CAP + 10
+    rows = [(i, 99, [1.0, 0.0, 0.0, 0.0]) for i in range(n_big)]
+    rows += [(1000, 1, [0.0, 1.0, 0.0, 0.0]),
+             (1001, 1, [0.0, 0.9, 0.1, 0.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<FLOAT>")
+    emb.write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+    pairs = vectorops.dd_embed_cosine(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert got == {(1000, 1001)}  # mega-label contributed nothing
