@@ -100,11 +100,20 @@ class DocModel(HTMLParser):
             self._emit_block(b[0], b[1], "".join(b[2]), b[3], b[4])
 
     def _emit_table(self, page: int, method: str, rows: list[list[str]]):
+        # hot: one span per non-empty cell — cursor arithmetic is kept
+        # in a local and written back once (same spans as per-cell
+        # _span calls, minus 2 dict ops + a method call per cell)
+        spans_append = self.spans.append
+        cur = self._cursor
+        start = cur.get(page, 0)
         for row in rows:
             for cell in row:
                 t = _norm(cell)
                 if t:
-                    self._span("table_cell", page, t)
+                    e = start + len(t)
+                    spans_append(("table_cell", page, start, e))
+                    start = e + 1
+        cur[page] = start
         slot = self.tables.setdefault(page, {"lattice": [], "stream": []})
         slot[method].append(rows)
         if page > self.max_page:
@@ -286,6 +295,215 @@ class DocModel(HTMLParser):
         self._flush_blk()
 
 
+def run_fused(m: DocModel, s: str) -> None:
+    """Combined scanner→model dispatch: htmlscan.scan's tokenizer loop
+    with DocModel's hot handler bodies (no-attr start tags, end tags,
+    table-cell/pre data) inlined at the dispatch sites — the handler
+    call per event (~300-500 events/doc) plus its re-branching was the
+    remaining constant cost after round 2's scanner rewrite.
+
+    Event semantics are htmlscan.scan's, verbatim (same stdlib regexes,
+    same slow-path helpers for attr-bearing tags, comments, marked
+    sections, recovery); model semantics are the handle_* bodies,
+    verbatim (slow paths call the real methods). Equivalence guards:
+    tests/test_htmlscan.py (fused ⇔ refkernel on corpus + NASTY),
+    tests/test_fuzz_parity.py (hypothesis soup + raw bytes through
+    extract_one, which uses this path), and
+    test_fused_matches_event_path (fused ⇔ scan()+handlers directly).
+    """
+    from . import htmlscan as H
+
+    data = m.handle_data
+    start = m.handle_starttag
+    end = m.handle_endtag
+    st = m._stack
+    tbl = m._tbl
+    unescape = H.unescape
+    tagfind = H._TAGFIND
+    endtagfind = H._ENDTAGFIND
+    n = len(s)
+    i = 0
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            chunk = s[i:]
+            data(unescape(chunk) if "&" in chunk else chunk)
+            return
+        if lt > i:
+            chunk = s[i:lt]
+            if "&" in chunk:
+                chunk = unescape(chunk)
+            # inlined handle_data fast paths (table cell / pre); the
+            # block path keeps its full logic in the method
+            if m._skip:
+                pass
+            elif m._pre is not None:
+                m._pre[2].append(chunk)
+            elif tbl:
+                cell = tbl[-1][4]
+                if cell is not None:
+                    cell.append(chunk)
+            else:
+                data(chunk)
+        c = s[lt + 1: lt + 2]
+        if "a" <= c <= "z" or "A" <= c <= "Z":
+            mt = tagfind.match(s, lt + 1)
+            k = mt.end()
+            if k < n and s[k] == ">":
+                tag = mt.group(1).lower()
+                i = k + 1
+                # ---- inlined handle_starttag(tag, []) ----
+                boiler = st[-1][1] if st else False
+                if tag in _SKIP:
+                    m._skip += 1
+                    st.append((tag, boiler, m._page))
+                    if tag in H._RAWTEXT:
+                        m2 = H._CDATA_CLOSE[tag].search(s, i)
+                        if m2 is None:
+                            return
+                        # cdata content: handle_data drops it
+                        # (m._skip >= 1 here), so no data call
+                        end(tag)
+                        i = m2.end()
+                    continue
+                page = m._page
+                if not boiler and tag in BOILER_TAGS:
+                    boiler = True
+                if m._pre is not None:
+                    if tag == "pre":
+                        m._pre[3] += 1
+                elif tag == "table":
+                    m._flush_blk()
+                    tbl.append([page, "stream", [], None, None])
+                elif tbl:
+                    t = tbl[-1]
+                    if tag == "tr":
+                        row = t[3]
+                        cell = t[4]
+                        if cell is not None and row is not None:
+                            row.append("".join(cell))
+                        t[4] = None
+                        if row is not None:
+                            t[2].append(row)
+                        t[3] = []
+                    elif tag in ("td", "th"):
+                        cell = t[4]
+                        if cell is not None and t[3] is not None:
+                            t[3].append("".join(cell))
+                        if t[3] is None:
+                            t[3] = []
+                        t[4] = []
+                elif tag == "pre":
+                    m._flush_blk()
+                    m._pre = [page, boiler, [], 1]
+                elif tag in _BLOCK:
+                    m._flush_blk()
+                    m._blk = [page, boiler, [], 0, 0]
+                elif tag == "a":
+                    m._links += 1
+                elif tag in _CONTAINER:
+                    m._flush_blk()
+                st.append((tag, boiler, page))
+                # ---- end inline (no rawtext: handled above) ----
+            else:
+                i, cdata = H._starttag(s, lt, data, start, end)
+                if i < 0:
+                    i = H._recover(s, lt, data)
+                    continue
+                if cdata is not None:
+                    m2 = H._CDATA_CLOSE[cdata].search(s, i)
+                    if m2 is None:
+                        return
+                    if m2.start() > i:
+                        data(s[i:m2.start()])
+                    end(cdata)
+                    i = m2.end()
+        elif c == "/":
+            mm = endtagfind.match(s, lt)
+            if mm is not None:
+                tag = mm.group(1).lower()
+                i = mm.end()
+                # ---- inlined handle_endtag ----
+                if st and st[-1][0] == tag:
+                    page_before = st[-1][2]
+                    st.pop()
+                else:
+                    idx = None
+                    for j in range(len(st) - 1, -1, -1):
+                        if st[j][0] == tag:
+                            idx = j
+                            break
+                    if idx is None:
+                        continue
+                    page_before = st[idx][2]
+                    del st[idx:]
+                if tag in _SKIP:
+                    m._skip = max(0, m._skip - 1)
+                    continue
+                if m._pre is not None:
+                    if tag == "pre":
+                        m._pre[3] -= 1
+                        if m._pre[3] == 0:
+                            m._finish_pre()
+                    continue
+                if tag == "table":
+                    if tbl:
+                        m._close_table()
+                elif tbl:
+                    t = tbl[-1]
+                    if tag == "tr":
+                        row = t[3]
+                        cell = t[4]
+                        if cell is not None and row is not None:
+                            row.append("".join(cell))
+                        t[4] = None
+                        if row is not None:
+                            t[2].append(row)
+                        t[3] = None
+                    elif tag in ("td", "th"):
+                        cell = t[4]
+                        if cell is not None and t[3] is not None:
+                            t[3].append("".join(cell))
+                        t[4] = None
+                elif tag in _BLOCK:
+                    m._flush_blk()
+                elif tag == "a":
+                    m._links = max(0, m._links - 1)
+                elif tag in _CONTAINER:
+                    m._flush_blk()
+                if tag == "section":
+                    m._page = page_before
+                # ---- end inline ----
+            else:
+                i = H._endtag(s, lt, end)
+                if i < 0:
+                    i = H._recover(s, lt, data)
+        elif c == "!":
+            if s.startswith("<!--", lt):
+                m2 = H._COMMENTCLOSE.search(s, lt + 4)
+                i = H._recover(s, lt, data) if m2 is None else m2.end()
+            elif s.startswith("<![", lt):
+                k = H._marked_section(s, lt, n)
+                if k == H._CRASH:
+                    return
+                i = H._recover(s, lt, data) if k < 0 else k
+            elif s[lt:lt + 9].lower() == "<!doctype":
+                gt = s.find(">", lt + 9)
+                i = H._recover(s, lt, data) if gt < 0 else gt + 1
+            else:
+                gt = s.find(">", lt + 2)
+                i = H._recover(s, lt, data) if gt < 0 else gt + 1
+        elif c == "?":
+            gt = s.find(">", lt + 2)
+            i = H._recover(s, lt, data) if gt < 0 else gt + 1
+        elif c == "":
+            data("<")
+            return
+        else:
+            data("<")
+            i = lt + 1
+
+
 _USE_STDLIB = bool(int(
     __import__("os").environ.get("SPARK_EXTRACT_STDLIB_PARSER", "0")))
 
@@ -306,8 +524,6 @@ def parse_document(html: bytes) -> DocModel:
             # htmlscan._marked_section and refkernel parse_html.
             pass
     else:
-        from .htmlscan import scan
-
-        scan(text, m)
+        run_fused(m, text)
     m.finish()
     return m

@@ -26,6 +26,22 @@ from .lexicon import (
 
 _WS = re.compile(r"\s+")
 _NUMERIC = re.compile(r"^-?\d+\.?\d*$")
+_NUMERIC_MATCH = _NUMERIC.match
+
+
+def _numeric_match(c: str):
+    """_NUMERIC.match(c.strip()) with a first-char prefilter: a match
+    must start with '-' or a \\d digit (isdigit() is a superset of
+    \\d's Nd category, so the prefilter never rejects a true match);
+    word cells skip both the strip and the regex machinery."""
+    ch = c[:1]
+    if ch != "-" and not ch.isdigit():
+        s = c.strip()
+        ch = s[:1]
+        if ch != "-" and not ch.isdigit():
+            return None
+        return _NUMERIC_MATCH(s)
+    return _NUMERIC_MATCH(c.strip())
 
 _META = set(".^$*+?{}[]()|\\")
 
@@ -36,12 +52,56 @@ def _compile_counters(patterns):
     count, no per-match tuple allocation)."""
     literals, regexes = [], []
     for p in patterns:
+        if p in _NEVER_ON_LOWER:
+            continue
         if not _META.intersection(p):
             literals.append(p)
         else:
-            regexes.append(
-                re.compile(re.sub(r"(?<!\\)\((?!\?)", "(?:", p)))
+            regexes.append((
+                re.compile(re.sub(r"(?<!\\)\((?!\?)", "(?:", p)),
+                _gate_for(p),
+            ))
     return literals, regexes
+
+
+_DIGIT = object()  # gate sentinel: pattern can't match digit-free text
+_HAS_DIGIT = re.compile(r"\d")
+
+# Conservative prefilters for the classify regexes: `gate` is a plain
+# substring every match of the pattern must contain (so skipping
+# findall when the gate is absent can never change a count). Inferred
+# for patterns with a mandatory \d+ / \d{n} atom; hand-audited literal
+# gates for the rest. Patterns like \$[\d,]+ (which matches "$," with
+# no digit) get a literal gate, not the digit one.
+_LITERAL_GATES = {
+    r"\$[\d,]+": "$",
+    r"phase\s+[IVX123]": "phase",
+    r"tco2e?": "tco2",
+    r"scope\s*[123]": "scope",
+    r"%\s*\([^)]+\)": "%",
+    r"r\s*=\s*[0-9.-]+": "=",
+}
+
+# classify runs its regexes over LOWERCASED text in both engines
+# (refkernel/classify.py:204,218 and classify_grid below), so a
+# pattern with a mandatory uppercase atom can never match — eliding
+# it changes no count, ever. Hand-audited; the uppercase-mandatory
+# property is value-tested in tests/test_engine_kernel.py.
+_NEVER_ON_LOWER = frozenset({
+    r"\d+[KMB]",        # [KMB]: no lowercase members
+    r"[A-Z]{2}\d{10}",
+    r"[A-Z]{12}",
+    PATTERNS["scientific_data"][2],  # mandatory 'Ã‚Â±' (uppercase Ã)
+})
+
+
+def _gate_for(pattern: str):
+    lit = _LITERAL_GATES.get(pattern)
+    if lit is not None:
+        return lit
+    if "\\d+" in pattern or "\\d{" in pattern:
+        return _DIGIT
+    return None
 
 
 _PATTERNS_C = {t: _compile_counters(ps) for t, ps in PATTERNS.items()}
@@ -74,10 +134,13 @@ def clean_grid(raw: list[list]) -> list[list[str]]:
                 crow.append(cell)
                 keep = True
                 continue
-            s = _WS.sub(" ", str(cell).strip())
+            if not isinstance(cell, str):
+                cell = str(cell)
+            s = _WS.sub(" ", cell.strip())
             if not s.isprintable():
                 s = "".join(ch for ch in s if ch.isprintable())
-            s = s.replace("\n", " ").replace("\r", " ")
+            # (refkernel follows with replace('\n'/'\r', ' ') — no-ops
+            # after the \s+ sub, so they are elided here)
             crow.append(s)
             if s:
                 keep = True
@@ -122,7 +185,7 @@ def score_quality(grid: list[list[str]]) -> float:
 
     first = grid[0]
     cols0 = len(first)
-    header_hits = sum(1 for c in first if c and not _NUMERIC.match(c.strip()))
+    header_hits = sum(1 for c in first if c and not _numeric_match(c))
     header_score = header_hits / cols0 if first else 0
     if n < 2 or cols0 < 2:
         dim = 0.3
@@ -132,16 +195,21 @@ def score_quality(grid: list[list[str]]) -> float:
         dim = 1.0
     structure = (header_score + dim) / 2
 
+    # column type consistency in ONE row-major pass (the column-major
+    # loop re-walked every row per column: O(rows×cols) python-level
+    # iterations with an index-bounds test each)
     num_cols = max(counts)
+    seen = [0] * num_cols
+    numeric = [0] * num_cols
+    for r in grid[1:]:
+        for ci, c in enumerate(r):
+            if c:
+                seen[ci] += 1
+                if _numeric_match(c):
+                    numeric[ci] += 1
     consistent_cols = 0
-    for ci in range(num_cols):
-        seen = numeric = 0
-        for r in grid[1:]:
-            if ci < len(r) and r[ci]:
-                seen += 1
-                if _NUMERIC.match(r[ci].strip()):
-                    numeric += 1
-        if seen and (numeric > seen * 0.8 or numeric < seen * 0.2):
+    for sc, nc in zip(seen, numeric):
+        if sc and (nc > sc * 0.8 or nc < sc * 0.2):
             consistent_cols += 1
     data_types = consistent_cols / num_cols if num_cols else 0
 
@@ -163,6 +231,7 @@ def classify_grid(grid: list[list[str]]) -> tuple[str, dict[str, str]]:
     lowered = joined.lower()
     headers = (" ".join(c for c in grid[0] if c).lower() if grid else "")
 
+    has_digit = _HAS_DIGIT.search(lowered) is not None
     best_type, best_score = None, -1
     for ttype in CLASS_ORDER:
         score = 0
@@ -174,7 +243,13 @@ def classify_grid(grid: list[list[str]]) -> tuple[str, dict[str, str]]:
         literals, regexes = _PATTERNS_C[ttype]
         for lit in literals:
             score += 2 * lowered.count(lit)
-        for rx in regexes:
+        for rx, gate in regexes:
+            if gate is not None:
+                if gate is _DIGIT:
+                    if not has_digit:
+                        continue
+                elif gate not in lowered:
+                    continue
             score += 2 * len(rx.findall(lowered))
         if score > best_score:
             best_type, best_score = ttype, score
@@ -239,9 +314,18 @@ def _csv(rows: list[list[str]]) -> bytes:
     return ("\n".join(parts) + "\n").encode("utf-8")
 
 
+_FLOAT_START = frozenset("0123456789+-.iInN")
+
+
 def _is_numeric_cell(s: str) -> bool:
     s = s.strip()
     if not s or "_" in s:
+        return False
+    # float() can only parse strings starting with a digit (incl.
+    # unicode Nd), sign, dot, inf or nan — prefilter word cells so the
+    # common miss never pays the ValueError exception cost
+    c = s[0]
+    if c not in _FLOAT_START and not c.isdigit():
         return False
     try:
         return not math.isnan(float(s))

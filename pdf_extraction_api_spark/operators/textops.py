@@ -179,6 +179,75 @@ def capped_bucket_pairs(df: DataFrame, key: str, id_col: str,
     ).select("key", "p.doc_a", "p.doc_b")
 
 
+def salted_bucket_pairs(df: DataFrame, key: str, id_col: str,
+                        cap: int) -> DataFrame:
+    """capped_bucket_pairs with recall inside mega-buckets: a bucket
+    larger than `cap` is salted into ceil(n/cap) shards by a
+    deterministic id hash (md5 % nshards), and pairs are generated
+    within shards. Each mega-bucket member still pairs with ~cap
+    shard-mates — enough to link a near-dup cluster transitively —
+    while per-key memory stays bounded (shard ≈ cap, hard bound 2·cap
+    for hash imbalance). Plan shape: hash-agg counts → broadcastable
+    join → map-side salt → the shared aggregate-then-expand pairs."""
+    keyed = df.select(F.col(key).alias("key"), F.col(id_col).alias("_id"))
+    counts = keyed.groupBy("key").agg(F.count("*").alias("n"))
+    nshards = F.ceil(F.col("n") / F.lit(float(cap)))
+    salt = F.when(
+        F.col("n") > cap,
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 4),
+               16, 10).cast("long") % nshards,
+    ).otherwise(F.lit(0))
+    salted = (
+        keyed.join(counts, "key")
+        .select(F.concat_ws("#", "key", salt.cast("string")).alias("key"),
+                "_id")
+    )
+    return capped_bucket_pairs(salted, "key", "_id", 2 * cap)
+
+
+def dd_minhash_salted(spark, sf):
+    """dd_minhash_lsh variant that salts oversized LSH buckets into
+    shards instead of dropping them (round-2 verdict ask #7): keeps
+    near-dup recall inside viral-boilerplate mega-buckets. At the
+    oracle's sf no bucket exceeds the cap, so results equal
+    dd_minhash_lsh there; the mega-bucket recall property is
+    unit-tested with a 1k near-identical corpus."""
+    sigs = _band_keys(_shingles(spark, sf))
+    return (salted_bucket_pairs(sigs, "key", "doc_id", LSH_BUCKET_CAP)
+            .select("doc_a", "doc_b").distinct())
+
+
+DD_MINHASH_SALTED_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+bands AS (SELECT unnest(range({N_BANDS})) AS band),
+raw_sigs AS (
+  SELECT doc_id, band,
+         min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM shingles, bands GROUP BY doc_id, band),
+counted AS (
+  SELECT doc_id, band, sig,
+         count(*) OVER (PARTITION BY band, sig) AS n
+  FROM raw_sigs),
+salted AS (
+  SELECT doc_id, band, sig,
+         CASE WHEN n > {LSH_BUCKET_CAP}
+              THEN CAST('0x' || substring(
+                     md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                   % CAST(ceil(n / CAST({LSH_BUCKET_CAP} AS DOUBLE))
+                          AS BIGINT)
+              ELSE 0 END AS salt
+  FROM counted),
+kept AS (
+  SELECT band, sig, salt FROM salted GROUP BY band, sig, salt
+  HAVING count(*) BETWEEN 2 AND {2 * LSH_BUCKET_CAP})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM salted a
+JOIN salted b ON a.band = b.band AND a.sig = b.sig
+             AND a.salt = b.salt AND a.doc_id < b.doc_id
+JOIN kept k ON k.band = a.band AND k.sig = a.sig AND k.salt = a.salt
+"""
+
+
 def dd_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs: docs sharing any band signature are
     candidates. Buckets larger than LSH_BUCKET_CAP are dropped (a viral
@@ -645,6 +714,7 @@ QUERIES = {
     "tx_pii_scrub": (tx_pii_scrub, TX_PII_SQL),
     "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_minhash_salted": (dd_minhash_salted, DD_MINHASH_SALTED_SQL),
     "dd_minhash_num": (dd_minhash_num, DD_MINHASH_NUM_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),

@@ -199,6 +199,35 @@ WHERE list_dot_product(a.embedding, b.embedding)
 """
 
 
+def _dim_of(e: DataFrame) -> int:
+    """Embedding dimensionality — schema can't carry array length, so
+    one head row (a single-row driver action, not a collect loop);
+    falls back to DIM on an empty table / NULL first embedding."""
+    first = e.select("embedding").head()
+    return (len(first[0]) if first is not None and first[0] is not None
+            else DIM)
+
+
+def _label_centroids(e: DataFrame, dim: int, key: str = "label",
+                     out: str = "c_label") -> DataFrame:
+    """Per-dim mean by `key` as dim map-side-combinable aggregates
+    (the dd_simhash pattern) — a posexplode would push a dim× row
+    blowup through the shuffle; this shuffles one row per
+    (key, partition)."""
+    return (
+        e.groupBy(key)
+        .agg(*[
+            F.avg(F.element_at("embedding", i + 1).cast("double"))
+            .alias(f"c{i}")
+            for i in range(dim)
+        ])
+        .select(
+            F.col(key).alias(out),
+            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cvec"),
+        )
+    )
+
+
 def ann_ivf_probe(spark, sf):
     """Full IVF: learn centroids (per-dim avg by label), assign each
     query to its N_PROBE nearest centroids by cosine, probe ONLY those
@@ -208,26 +237,7 @@ def ann_ivf_probe(spark, sf):
     equi join scanning N_PROBE/n_clusters of the corpus — the
     brute-force cross join never happens."""
     e = T(spark, sf, "embeddings")
-    # centroids as dim map-side-combinable aggregates (the dd_simhash
-    # pattern) — a posexplode would push a dim× row blowup through the
-    # shuffle; this shuffles one row per (label, partition). The
-    # dimension is schema discovery (one head row — tolerate an empty
-    # table or a NULL first embedding by falling back to DIM).
-    first = e.select("embedding").head()
-    dim = (len(first[0]) if first is not None and first[0] is not None
-           else DIM)
-    cent = (
-        e.groupBy("label")
-        .agg(*[
-            F.avg(F.element_at("embedding", i + 1).cast("double"))
-            .alias(f"c{i}")
-            for i in range(dim)
-        ])
-        .select(
-            F.col("label").alias("c_label"),
-            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cvec"),
-        )
-    )
+    cent = _label_centroids(e, _dim_of(e))
     q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
     # assign: nearest centroid by cosine (argmax over broadcast table)
     qc = (
@@ -303,6 +313,153 @@ scored AS (
 SELECT q_id, probe_label, rank, c_id AS neighbor_id,
        CAST(round(cos, 4) AS DOUBLE) AS cos_sim
 FROM (SELECT q_id, probe_label, c_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {K}
+"""
+
+
+N_KMEANS_ITERS = 2  # Lloyd iterations (fixed + unrolled in the oracle)
+
+
+def ann_ivf_kmeans(spark, sf):
+    """IVF with k-means-LEARNED centroids (round-2 verdict ask #5):
+    label means seed k deterministic Lloyd iterations — assign every
+    vector to its nearest centroid by cosine (ties → lowest id),
+    recompute per-dim means — then probe exactly like ann_ivf_probe
+    but against the learned cells. Fully deterministic (seeded init,
+    fixed iteration count, total-order tie-breaks), so the DuckDB
+    oracle unrolls the same two iterations in SQL.
+
+    Scale shape: each iteration is one broadcast-assign (the centroid
+    table is k rows) + one map-side-combinable per-dim avg — no
+    iteration-over-collect, no cross join; vectors shuffle only on
+    their assigned cell id."""
+    e = T(spark, sf, "embeddings")
+    dim = _dim_of(e)
+    base = _with_norm(e, "embedding", "c")  # c_id, c_v, c_norm
+
+    def assign(cent: DataFrame) -> DataFrame:
+        """(c_id, embedding, cell): nearest centroid by cosine."""
+        cn = F.sqrt(F.aggregate(
+            F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x))
+        scored = base.crossJoin(F.broadcast(cent)).select(
+            "c_id", "c_v",
+            F.col("cell").alias("cand_cell"),
+            (_cosine("c_v", "cvec") / (F.col("c_norm") * cn))
+            .alias("ccos"),
+        )
+        w = Window.partitionBy("c_id").orderBy(
+            F.desc("ccos"), F.asc("cand_cell"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("c_id", F.col("c_v").alias("embedding"),
+                    F.col("cand_cell").alias("cell"))
+        )
+
+    cent = _label_centroids(e, dim).select(
+        F.col("c_label").cast("long").alias("cell"), "cvec")
+    for _ in range(N_KMEANS_ITERS):
+        assigned = assign(cent)
+        cent = _label_centroids(assigned, dim, key="cell", out="cell")
+    final = assign(cent).select(
+        F.col("c_id").alias("m_id"), F.col("cell").alias("m_cell"))
+
+    q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
+    cn = F.sqrt(F.aggregate(
+        F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x))
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_v", "q_norm", "cell",
+        (_cosine("q_v", "cvec") / (F.col("q_norm") * cn)).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("q_id").orderBy(
+        F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("q_id", "q_v", "q_norm",
+                F.col("cell").alias("probe_cell"))
+    )
+    cand = _with_norm(e, "embedding", "c").join(
+        final, F.col("c_id") == F.col("m_id"))
+    scored = (
+        probes.join(cand, (F.col("probe_cell") == F.col("m_cell"))
+                    & (F.col("q_id") != F.col("c_id")))
+        .select(
+            "q_id", "c_id",
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("q_id", "rank", F.col("c_id").alias("neighbor_id"),
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def _kmeans_sql() -> str:
+    """The same seeded-init + 2-iteration Lloyd in unrolled SQL."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+
+    def assign_cte(name: str, cent: str) -> str:
+        c = cos.format(a="e.embedding", b="c.cvec")
+        return f"""{name} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {c} DESC, c.cell ASC) AS rk
+    FROM embeddings e, {cent} c)
+  WHERE rk = 1)"""
+
+    def cent_cte(name: str, asg: str) -> str:
+        return f"""{name} AS (
+  SELECT cell, list(m ORDER BY dim) AS cvec FROM (
+    SELECT a.cell, t.pos AS dim,
+           avg(CAST(a.embedding[t.pos + 1] AS DOUBLE)) AS m
+    FROM {asg} a,
+         LATERAL (SELECT unnest(range(len(a.embedding))) AS pos) t
+    GROUP BY a.cell, t.pos)
+  GROUP BY cell)"""
+
+    qcos = cos.format(a="q.qv", b="c.cvec")
+    scos = cos.format(a="p.qv", b="e.embedding")
+    return f"""
+WITH dims AS (
+  SELECT label, pos AS dim, CAST(embedding[pos + 1] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS pos) t),
+cent0 AS (
+  SELECT CAST(label AS BIGINT) AS cell, list(m ORDER BY dim) AS cvec
+  FROM (SELECT label, dim, avg(v) AS m FROM dims GROUP BY label, dim)
+  GROUP BY label),
+{assign_cte("asg1", "cent0")},
+{cent_cte("cent1", "asg1")},
+{assign_cte("asg2", "cent1")},
+{cent_cte("cent2", "asg2")},
+{assign_cte("final", "cent2")},
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q_id, qv, cell AS probe_cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {qcos} DESC, c.cell ASC) AS rk
+    FROM q, cent2 c)
+  WHERE rk <= {N_PROBE}),
+scored AS (
+  SELECT p.q_id, e.vec_id AS c_id, {scos} AS cos
+  FROM probes p
+  JOIN final f ON f.cell = p.probe_cell
+  JOIN embeddings e ON e.vec_id = f.vec_id AND e.vec_id <> p.q_id)
+SELECT q_id, rank, c_id AS neighbor_id,
+       CAST(round(cos, 4) AS DOUBLE) AS cos_sim
+FROM (SELECT q_id, c_id, cos,
              row_number() OVER (PARTITION BY q_id
                                 ORDER BY cos DESC, c_id ASC) AS rank
       FROM scored)
@@ -418,6 +575,7 @@ QUERIES = {
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
     "ann_ivf_probe": (ann_ivf_probe, ANN_IVF_PROBE_SQL),
+    "ann_ivf_kmeans": (ann_ivf_kmeans, _kmeans_sql()),
     "dd_embed_cosine": (dd_embed_cosine, DD_EMBED_SQL),
     "dd_embed_lsh": (dd_embed_lsh, _embed_lsh_sql()),
 }

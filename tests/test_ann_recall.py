@@ -41,6 +41,7 @@ def clustered_sf(spark, tmp_path_factory):
 
 def test_ivf_recall_high_on_clusterable_data(spark, clustered_sf):
     from pdf_extraction_api_spark.operators.vectorops import (
+        ann_ivf_kmeans,
         ann_ivf_label,
         ann_ivf_probe,
         ann_topk_brute,
@@ -50,7 +51,10 @@ def test_ivf_recall_high_on_clusterable_data(spark, clustered_sf):
              for r in ann_topk_brute(spark, clustered_sf).collect()}
     assert truth
     assert _recall(spark, clustered_sf, ann_ivf_probe, truth) >= 0.9
-    assert _recall(spark, clustered_sf, ann_ivf_label, truth) >= 0.9
+    r_label = _recall(spark, clustered_sf, ann_ivf_label, truth)
+    assert r_label >= 0.9
+    # learned centroids must not lose recall vs the label-mean seed
+    assert _recall(spark, clustered_sf, ann_ivf_kmeans, truth) >= r_label
 
 
 def test_ivf_probe_beats_own_cluster_on_isotropic_data(spark):

@@ -78,3 +78,29 @@ def test_engine_error_isolation():
     out = pd.concat(list(extract_batches(iter([pdf]))))
     assert list(out["url"]) == ["a", "b"]
     assert out["error"].isna().all() or (out["error"] == None).all()  # noqa: E711
+
+
+def test_never_on_lower_patterns_are_dead():
+    """The classify patterns elided by tablepipe._NEVER_ON_LOWER must
+    each (a) match SOME case-sensitive probe — proving the entry names
+    a real pattern, not a typo — and (b) never match that probe
+    lowercased, since both engines run classify regexes on .lower()ed
+    text only (refkernel/classify.py:204,218)."""
+    import re
+
+    from pdf_extraction_api_spark.kernel.tablepipe import _NEVER_ON_LOWER
+
+    probes = {
+        r"\d+[KMB]": "5K",
+        r"[A-Z]{2}\d{10}": "US1234567890",
+        r"[A-Z]{12}": "ABCDEFGHIJKL",
+        lexicon.PATTERNS["scientific_data"][2]: "1.2 Ã‚Â± 3.4",
+    }
+    assert set(probes) == set(_NEVER_ON_LOWER)
+    for pat, probe in probes.items():
+        rx = re.compile(pat)
+        assert rx.search(probe), pat
+        assert not rx.search(probe.lower()), pat
+        # and the lowercase transform is not an identity on the
+        # mandatory atom (guards against a future all-caps-free edit)
+        assert probe.lower() != probe

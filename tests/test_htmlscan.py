@@ -124,6 +124,33 @@ def test_scanner_matches_refkernel_on_nasty(idx):
     assert _norm(eng) == _norm(ref), html
 
 
+def test_fused_matches_event_path():
+    """run_fused (inlined handler bodies) must leave DocModel in the
+    exact state the generic scan()+handle_* path produces — corpus +
+    NASTY + a pre/section/skip stress doc."""
+    from pdf_extraction_api_spark.kernel.htmlscan import scan
+    from pdf_extraction_api_spark.kernel.model import DocModel, run_fused
+
+    def state(m):
+        return (m.spans, m.content, m.tables, m.max_page)
+
+    docs = [r["html"] for r in gen_rows(150, seed=5)] + NASTY + [
+        b"<section data-page='2'><pre>a  b\nc  d</pre></section>"
+        b"<script>x<td></script><table><tr><td>1<p>q</p></td></table>",
+    ]
+    for html in docs:
+        try:
+            text = html.decode("utf-8")
+        except UnicodeDecodeError:
+            text = html.decode("latin-1")
+        a, b = DocModel(), DocModel()
+        scan(text, a)
+        a.finish()
+        run_fused(b, text)
+        b.finish()
+        assert state(a) == state(b), html[:120]
+
+
 def test_scanner_matches_stdlib_flag():
     """Same kernel, both parser paths, same bytes."""
     import importlib

@@ -134,6 +134,33 @@ def test_lsh_bucket_cap_bounds_hot_buckets(spark, tmp_path):
     assert len(pairs) < textops.LSH_BUCKET_CAP ** 2 * textops.N_BANDS
 
 
+def test_salted_lsh_keeps_mega_bucket_recall(spark, tmp_path):
+    """1k NEAR-identical docs (shared prefix, unique tail token) land
+    in one mega-bucket per band. dd_minhash_lsh's cap drops it (zero
+    recall inside the bucket); the salted variant must still link the
+    cluster — every member pairs with its shard-mates — with bounded
+    shard sizes."""
+    from pdf_extraction_api_spark.operators import textops
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = [(i, f"{base} unique{i}", 300, "boiler") for i in range(1000)]
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    capped = textops.dd_minhash_lsh(spark, str(tmp_path)).count()
+    salted = textops.dd_minhash_salted(spark, str(tmp_path)).collect()
+    assert len(salted) > capped  # recall the cap threw away
+    # every member is linked to at least one near-dup
+    linked = {r.doc_a for r in salted} | {r.doc_b for r in salted}
+    assert len(linked) >= 990  # ~every doc pairs within its shard
+    # memory bound: pairs per (band, shard) can't exceed (2*cap)^2/2
+    cap = textops.LSH_BUCKET_CAP
+    import math
+    nshards = math.ceil(1000 / cap)
+    assert len(salted) <= textops.N_BANDS * nshards * (2 * cap) ** 2
+
+
 def test_jaccard_materializes_shingles_once(spark):
     """dd_ngram_jaccard persists the shingle relation and reuses it on
     all three consumers — the analyzed plan must read the cached table
