@@ -38,13 +38,20 @@ CACHE_ROOT = Path(os.environ.get("SPARK_GRAFT_CACHE", "/tmp/spark_graft"))
 
 
 BYTES_PER_DOC = 1900  # median generated html size (measured)
+# waves per core at the widest level: the last wave idles (cores-1)
+# workers for up to one task length, so the straggler tail costs
+# ~1/(2·waves) of wall time AT THE WIDE LEVEL ONLY — i.e. it shows up
+# directly as scaling-efficiency loss (measured: 5 waves → ~0.79 raw
+# on a clean host, 12 waves recovers most of the tail; per-task fixed
+# cost is small because python workers are reused).
+WAVES = int(os.environ.get("SPARK_GRAFT_WAVES", "12"))
 
 
 def split_bytes_for(docs: int, max_cores: int) -> int:
     """CPU-bound kernel → size scan splits by kernel time, not IO:
-    ≥5 waves per core at the WIDEST level so the straggler tail is
+    ≥WAVES waves per core at the WIDEST level so the straggler tail is
     bounded and both scaling levels run the identical task set."""
-    return max(1 << 20, docs * BYTES_PER_DOC // (max_cores * 5))
+    return max(1 << 20, docs * BYTES_PER_DOC // (max_cores * WAVES))
 
 
 def make_session(cores: int, split_bytes: int | None = None):

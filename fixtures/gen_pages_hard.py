@@ -9,7 +9,13 @@ byte-parity evidence beyond the clean fixture families:
 - unterminated tags / comments / CDATA at arbitrary positions
 - bare attribute values ending in '/', NULs after tag names
 - rawtext traps ('</scriptx>', '</ script >', unterminated <script>)
-- charref soup (named/numeric/hex/missing-semicolon/bogus)
+- charref soup (named/numeric/hex/missing-semicolon/bogus), plus
+  entity-DENSE blocks with the html.unescape special cases (overflow
+  &#x110000;, NUL, surrogate range)
+- whitespace-aligned <pre> blocks (the stream-table gap-split path),
+  nested tables (table inside td), link-dense boilerplate with
+  MiXeD-case class tokens, marked sections incl. the '<![x]>'
+  stop-parsing convention
 - mixed-encoding bytes (utf-8 with stray latin-1 bytes → the kernel's
   decode fallback path)
 - tables interrupted mid-row by crawler truncation
@@ -84,11 +90,69 @@ def _rawtext_trap(rng: random.Random) -> str:
     return f"<script>{inner}"  # unterminated: tail must vanish
 
 
+_HEAVY_ENTITIES = _ENTITIES + [
+    "&#x110000;", "&#0;", "&#xD800;", "&#8364;", "&nbsp;", "&NBSP;",
+    "&ampamp;", "&#x1F600;", "&quot;unquoted",
+]
+
+_MARKED = ["<![CDATA[cut <p>here</p>]]>", "<![if ie]>old<![endif]>",
+           "<![ignore[gone]]>", "<![x]>"]  # last: both kernels stop
+
+
+def _entity_soup(rng: random.Random) -> str:
+    """Entity-dense block: >50% of tokens carry charrefs, including
+    the special-cased ones (overflow, NUL, surrogate range) that
+    html.unescape maps to replacement chars."""
+    words = []
+    for _ in range(rng.randint(10, 40)):
+        w = rng.choice(_WORDS)
+        if rng.random() < 0.6:
+            w += rng.choice(_HEAVY_ENTITIES)
+        if rng.random() < 0.2:
+            w = rng.choice(_HEAVY_ENTITIES) + w
+        words.append(w)
+    tag = rng.choice(["p", "blockquote", "figcaption", "dt", "dd"])
+    return f"<{tag}>{' '.join(words)}</{tag}>"
+
+
+def _pre_stream_table(rng: random.Random) -> str:
+    """Whitespace-aligned <pre> block — the stream-table detection
+    path (gap-split rows), sometimes too ragged to qualify."""
+    rows = []
+    for _ in range(rng.randint(2, 7)):
+        cells = [f"{rng.choice(_WORDS)}", f"{rng.randint(0, 999)}",
+                 f"{rng.randint(0, 99)}.{rng.randint(0, 99):02d}"]
+        sep = " " * rng.randint(1, 4)
+        rows.append(sep.join(cells))
+    body = "\n".join(rows)
+    return f"<pre>{body}</pre>" if rng.random() < 0.8 else f"<pre>{body}"
+
+
+def _nested_table(rng: random.Random) -> str:
+    inner = ("<table><tr><td>in1</td><td>in2</td></tr>"
+             "<tr><td>in3</td><td>in4</td></tr></table>")
+    close = "</table>" if rng.random() < 0.7 else ""
+    return (f'<table border="1"><tr><td>out1</td><td>{inner}</td></tr>'
+            f"<tr><td>out2</td><td>{rng.randint(0, 99)}</td></tr>{close}")
+
+
+def _link_farm(rng: random.Random) -> str:
+    """Link-dense block (density > 0.5 → boilerplate by the text/link
+    ratio rule, no boiler class needed) with MiXeD-case class tokens
+    (the lexicon check lowercases)."""
+    cls = rng.choice(["NaV-Bar", "FOOTER-links", "Cookie-Banner",
+                      "plain-content"])
+    links = " ".join(f'<a href="/{w}">{w} {w}</a>'
+                     for w in rng.sample(_WORDS, rng.randint(4, 10)))
+    return (f'<p class="{cls}" style="display:{rng.choice(["none", "block"])}">'
+            f"{links} {rng.choice(_WORDS)}</p>")
+
+
 def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     rng = random.Random((seed << 20) ^ doc_id)
     parts = [rng.choice(["<!DOCTYPE html>", "<!doctype HTML >", ""])]
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(6)
+        kind = rng.randrange(10)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -99,6 +163,14 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_rawtext_trap(rng))
         elif kind == 4:
             parts.append(rng.choice(_TRAPS))
+        elif kind == 5:
+            parts.append(_entity_soup(rng))
+        elif kind == 6:
+            parts.append(_pre_stream_table(rng))
+        elif kind == 7:
+            parts.append(_nested_table(rng))
+        elif kind == 8:
+            parts.append(_link_farm(rng) + rng.choice(_MARKED))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'

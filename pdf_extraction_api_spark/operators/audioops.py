@@ -172,6 +172,52 @@ def mm_audio_features(spark, sf):
     return wavs.mapInPandas(run, schema=_FEAT_SCHEMA)
 
 
+_DIMS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("audio_kind", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+])
+
+
+def mm_audio_dims(spark, sf):
+    """Oracle-checked WAV round-trip (the mm_image_dims pattern):
+    synth → encode → stdlib decode → container metadata, reconstructed
+    by pure doc_id arithmetic in the oracle. Any header/PCM-length bug
+    in kernel-side WAV handling breaks the hash match."""
+    wavs = audio_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["audio_kind"].values,
+                    pdf["wav"].values):
+                x, rate = decode_wav(bytes(blob))
+                rows.append({"doc_id": int(doc_id), "audio_kind": kind,
+                             "sample_rate": rate, "n_samples": len(x)})
+            yield pd.DataFrame(rows)
+
+    return wavs.mapInPandas(run, schema=_DIMS_SCHEMA)
+
+
+# mirrors synth_wav: kind = [...][id % 4], n = int(8000*(0.1+(id%6)*.05))
+# (the ::DOUBLE casts force IEEE arithmetic = Python's int(float))
+MM_AUDIO_DIMS_SQL = f"""
+SELECT doc_id,
+       ['tone', 'chord', 'noise', 'silence'][CAST(doc_id % 4 AS INT) + 1]
+         AS audio_kind,
+       {_RATE} AS sample_rate,
+       CAST(floor({_RATE} * (0.1::DOUBLE
+                             + (doc_id % 6) * 0.05::DOUBLE)) AS INT)
+         AS n_samples
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_audio_features": (mm_audio_features, None),
+    "mm_audio_dims": (mm_audio_dims, MM_AUDIO_DIMS_SQL),
 }

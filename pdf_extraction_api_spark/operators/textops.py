@@ -23,7 +23,9 @@ HashAggregate instead of a SortAggregate.
 Scale notes: every op is a shuffle-on-key aggregation/join; LSH bands
 bound the self-join fan-out (no O(n²) pairs) and oversized band buckets
 (boilerplate-identical corpora) are capped at LSH_BUCKET_CAP docs so no
-single signature can square; shingle construction is map-side;
+single signature can square (dd_minhash_salted shards them instead,
+keeping near-dup recall at the same memory bound); shingle construction
+is map-side and materialized ONCE for the jaccard verification;
 candidate verification (dd_ngram_jaccard) joins shingles ONLY for the
 LSH survivor pairs, never all-docs × all-docs; tx_fingerprint is a
 zero-shuffle map (array_min over a transform — no per-position explode).

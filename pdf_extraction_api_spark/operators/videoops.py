@@ -133,6 +133,61 @@ def mm_video_frames(spark, sf):
     return clips.mapInPandas(run, schema=_FRAME_SCHEMA)
 
 
+_DIMS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("clip_kind", StringType()),
+    StructField("fps", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+])
+
+
+def mm_video_dims(spark, sf):
+    """Oracle-checked AVI round-trip (the mm_image_dims pattern):
+    synth → RIFF/AVI encode → container walk decode → avih dims, strh
+    fps and frame count, reconstructed by doc_id arithmetic in the
+    oracle. Any container-offset bug in kernel/avi.py breaks the hash
+    match."""
+    clips = video_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import avi as avic
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["clip_kind"].values,
+                    pdf["avi"].values):
+                fps, frames = avic.decode(bytes(blob))
+                rows.append({
+                    "doc_id": int(doc_id), "clip_kind": kind,
+                    "fps": fps,
+                    "width": int(frames[0].shape[1]),
+                    "height": int(frames[0].shape[0]),
+                    "n_frames": len(frames),
+                })
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(run, schema=_DIMS_SCHEMA)
+
+
+# mirrors synth_clip + video_payloads(fps=10)
+MM_VIDEO_DIMS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'moving' ELSE 'static' END
+         AS clip_kind,
+       10 AS fps,
+       CAST(32 + (doc_id * 11) % 16 AS INT) AS width,
+       CAST(24 + (doc_id * 7) % 16 AS INT) AS height,
+       CAST(4 + doc_id % 5 AS INT) AS n_frames
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_video_frames": (mm_video_frames, None),
+    "mm_video_dims": (mm_video_dims, MM_VIDEO_DIMS_SQL),
 }
