@@ -299,6 +299,13 @@ def grid_hash(grid: list[list[str]]) -> str:
         json.dumps(grid, sort_keys=True).encode()).hexdigest()
 
 
+# content-hash → (quality_score, table_type, metadata); FIFO-bounded.
+# Purely a memo of deterministic per-grid results (golden/parity suites
+# exercise it); sized so worst-case memory stays a few MB per worker.
+_CLS_CACHE: dict[str, tuple] = {}
+_CLS_CACHE_CAP = 4096
+
+
 _CSV_SPECIAL = re.compile(r'[,"\n\r]')
 
 
@@ -354,8 +361,22 @@ def page_tables(page: int, lattice: list, stream: list) -> list[dict]:
         seen.add(h)
         if not grid:
             continue
-        qscore = score_quality(grid)
-        ttype, md = classify_grid(grid)
+        # classify + score are pure functions of the cleaned grid, and
+        # crawl corpora repeat boilerplate tables across documents
+        # (12.5% even on the synthetic golden corpus) — memoize by the
+        # content hash we already computed. Python workers are reused
+        # across Arrow batches, so the (bounded) cache amortizes per
+        # executor process.
+        cached = _CLS_CACHE.get(h)
+        if cached is None:
+            qscore = score_quality(grid)
+            ttype, md = classify_grid(grid)
+            if len(_CLS_CACHE) >= _CLS_CACHE_CAP:
+                _CLS_CACHE.pop(next(iter(_CLS_CACHE)))
+            _CLS_CACHE[h] = (qscore, ttype, md)
+        else:
+            qscore, ttype, md = cached
+            md = dict(md)  # callers receive a private copy
         max_cols = max(len(r) for r in grid)
         padded = [r + [""] * (max_cols - len(r)) for r in grid]
         body = padded[1:]

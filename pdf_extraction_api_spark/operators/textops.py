@@ -710,8 +710,82 @@ GROUP BY lang
 """
 
 
+def tx_gopher_quality(spark, sf):
+    """Gopher-style repetition/quality rules (Rae et al. 2021, public):
+    duplicate-trigram fraction, mean word length, symbol-word ratio →
+    keep/drop flag. All JVM higher-order functions over the token
+    array — zero shuffles, pushes down as a plain projection+filter at
+    100 TB (the standard pre-training corpus gate next to tx_quality's
+    weighted score)."""
+    d = T(spark, sf, "documents")
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3)),
+    )
+    dup_tri = F.when(
+        n >= 3,
+        F.round(1.0 - F.size(F.array_distinct(tri))
+                / F.size(tri).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0),
+                    lambda a, x: a + F.length(x)).cast("double") / n, 6)
+    sym_ratio = F.round(
+        F.size(F.filter(toks, lambda x: ~x.rlike("^[a-z0-9]+$")))
+        / n.cast("double"), 6)
+    keep = ((dup_tri <= 0.5) & (mean_len >= 2.0) & (mean_len <= 12.0)
+            & (sym_ratio <= 0.3))
+    return toked.filter(n > 0).select(
+        "doc_id",
+        dup_tri.alias("dup_trigram_frac"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        F.when(keep, "keep").otherwise("drop").alias("gopher_flag"),
+    )
+
+
+TX_GOPHER_SQL = r"""
+SELECT doc_id,
+       CAST(round(CASE WHEN n >= 3
+         THEN 1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE)
+         ELSE 0.0 END, 6) AS DOUBLE) AS dup_trigram_frac,
+       CAST(round(charsum / CAST(n AS DOUBLE), 6) AS DOUBLE)
+         AS mean_word_len,
+       CAST(round(nsym / CAST(n AS DOUBLE), 6) AS DOUBLE)
+         AS symbol_ratio,
+       CASE WHEN (CASE WHEN n >= 3
+                   THEN 1.0 - len(list_distinct(tri))
+                        / CAST(len(tri) AS DOUBLE)
+                   ELSE 0.0 END) <= 0.5
+             AND charsum / CAST(n AS DOUBLE) BETWEEN 2.0 AND 12.0
+             AND nsym / CAST(n AS DOUBLE) <= 0.3
+            THEN 'keep' ELSE 'drop' END AS gopher_flag
+FROM (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(range(len(toks) - 2),
+           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])
+           AS tri,
+         list_sum(list_transform(toks, x -> length(x))) AS charsum,
+         len(list_filter(toks,
+             x -> NOT regexp_matches(x, '^[a-z0-9]+$'))) AS nsym
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS toks
+        FROM documents))
+WHERE n > 0
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "tx_gopher_quality": (tx_gopher_quality, TX_GOPHER_SQL),
     "tx_hash_sample": (tx_hash_sample, TX_HASH_SAMPLE_SQL),
     "tx_pii_scrub": (tx_pii_scrub, TX_PII_SQL),
     "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),

@@ -213,12 +213,22 @@ def _label_centroids(e: DataFrame, dim: int, key: str = "label",
     """Per-dim mean by `key` as dim map-side-combinable aggregates
     (the dd_simhash pattern) — a posexplode would push a dim× row
     blowup through the shuffle; this shuffles one row per
-    (key, partition)."""
+    (key, partition).
+
+    Coordinates are rounded to 9 decimals: double summation order is
+    partition-dependent in Spark (and differs from DuckDB's), so raw
+    avg() outputs carry ~1e-16 run-dependent noise — harmless for
+    ranking by cosine except exactly at assignment ties, where a flip
+    would cascade through the k-means iterations. Rounding makes the
+    centroid table bit-identical across engines and runs (the ~1e-16
+    noise cannot move a value across a 0.5e-9 rounding boundary except
+    with negligible probability on real-valued data)."""
     return (
         e.groupBy(key)
         .agg(*[
-            F.avg(F.element_at("embedding", i + 1).cast("double"))
-            .alias(f"c{i}")
+            F.round(
+                F.avg(F.element_at("embedding", i + 1).cast("double")),
+                9).alias(f"c{i}")
             for i in range(dim)
         ])
         .select(
@@ -288,7 +298,8 @@ WITH dims AS (
 cent AS (
   SELECT label AS c_label,
          list(c ORDER BY dim) AS cvec
-  FROM (SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim)
+  FROM (SELECT label, dim, round(avg(v), 9) AS c
+        FROM dims GROUP BY label, dim)
   GROUP BY label),
 q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
       WHERE vec_id < {N_QUERIES}),
@@ -421,7 +432,7 @@ def _kmeans_sql() -> str:
         return f"""{name} AS (
   SELECT cell, list(m ORDER BY dim) AS cvec FROM (
     SELECT a.cell, t.pos AS dim,
-           avg(CAST(a.embedding[t.pos + 1] AS DOUBLE)) AS m
+           round(avg(CAST(a.embedding[t.pos + 1] AS DOUBLE)), 9) AS m
     FROM {asg} a,
          LATERAL (SELECT unnest(range(len(a.embedding))) AS pos) t
     GROUP BY a.cell, t.pos)
@@ -436,7 +447,8 @@ WITH dims AS (
        LATERAL (SELECT unnest(range(len(embedding))) AS pos) t),
 cent0 AS (
   SELECT CAST(label AS BIGINT) AS cell, list(m ORDER BY dim) AS cvec
-  FROM (SELECT label, dim, avg(v) AS m FROM dims GROUP BY label, dim)
+  FROM (SELECT label, dim, round(avg(v), 9) AS m
+        FROM dims GROUP BY label, dim)
   GROUP BY label),
 {assign_cte("asg1", "cent0")},
 {cent_cte("cent1", "asg1")},

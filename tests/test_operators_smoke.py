@@ -74,6 +74,11 @@ def test_new_query_plan_shapes(spark, registry):
     assert "TakeOrderedAndProject" in plan("q18_big_orders")
     p = plan("a14_cube")
     assert "Expand" in p and p.count("HashAggregate") <= 4
+    # k-means assigns via broadcast of the k-row centroid table; the
+    # corpus side must never be the build side of a cartesian product
+    p = plan("ann_ivf_kmeans")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
 
 
 def test_bpe_tokens_vertical_tab_parity(spark, tmp_path):
