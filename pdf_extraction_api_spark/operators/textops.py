@@ -783,9 +783,77 @@ WHERE n > 0
 """
 
 
+def tx_trigram_ppl(spark, sf):
+    """CCNet-style LM quality signal without an external model: train a
+    token-trigram LM on the corpus itself (two aggregations), then
+    score every document by its mean log2 P(w3 | w1 w2) under that
+    model — low scores mark atypical/garbled text, high scores mark
+    repetitive boilerplate. Entirely relational: the model IS a pair
+    of count tables, scoring is two shuffle joins on the n-gram key +
+    one per-doc avg; at 100 TB the model tables prune to
+    count >= threshold and broadcast if small enough (AQE decides).
+    Self-trained means every doc trigram exists in the model — no
+    smoothing branch needed."""
+    # (_shingles is not reusable here: it is DISTINCT per doc, and LM
+    # training/scoring needs occurrence counts)
+    d = T(spark, sf, "documents")
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    toks = F.col("toks")
+    tri_struct = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3)).alias("tri"),
+            F.concat_ws(" ", F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2)).alias("pre"),
+        ),
+    )
+    occ = toked.select(
+        "doc_id", F.explode(tri_struct).alias("t")
+    ).select("doc_id", "t.tri", "t.pre")
+    tri_n = occ.groupBy("tri").agg(F.count("*").alias("tri_n"))
+    pre_n = occ.groupBy("pre").agg(F.count("*").alias("pre_n"))
+    return (
+        occ.join(tri_n, "tri").join(pre_n, "pre")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(F.log2(F.col("tri_n")
+                                 / F.col("pre_n").cast("double"))), 6)
+            .alias("avg_log2p"),
+        )
+    )
+
+
+TX_TRIGRAM_PPL_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+occ AS (
+  SELECT doc_id,
+         toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS tri,
+         toks[i + 1] || ' ' || toks[i + 2] AS pre
+  FROM toked, LATERAL (SELECT unnest(range(len(toks) - 2)) AS i) t
+  WHERE len(toks) >= 3),
+tri_n AS (SELECT tri, count(*) AS tri_n FROM occ GROUP BY tri),
+pre_n AS (SELECT pre, count(*) AS pre_n FROM occ GROUP BY pre)
+SELECT o.doc_id, count(*) AS n_trigrams,
+       CAST(round(avg(log2(t.tri_n / CAST(p.pre_n AS DOUBLE))), 6)
+            AS DOUBLE) AS avg_log2p
+FROM occ o JOIN tri_n t USING (tri) JOIN pre_n p USING (pre)
+GROUP BY o.doc_id
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "tx_gopher_quality": (tx_gopher_quality, TX_GOPHER_SQL),
+    "tx_trigram_ppl": (tx_trigram_ppl, TX_TRIGRAM_PPL_SQL),
     "tx_hash_sample": (tx_hash_sample, TX_HASH_SAMPLE_SQL),
     "tx_pii_scrub": (tx_pii_scrub, TX_PII_SQL),
     "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),
