@@ -373,7 +373,7 @@ def page_tables(page: int, lattice: list, stream: list) -> list[dict]:
             ttype, md = classify_grid(grid)
             if len(_CLS_CACHE) >= _CLS_CACHE_CAP:
                 _CLS_CACHE.pop(next(iter(_CLS_CACHE)))
-            _CLS_CACHE[h] = (qscore, ttype, md)
+            _CLS_CACHE[h] = (qscore, ttype, dict(md))
         else:
             qscore, ttype, md = cached
             md = dict(md)  # callers receive a private copy

@@ -281,6 +281,70 @@ FROM sigs a JOIN sigs b
 """
 
 
+def dd_components(spark, sf):
+    """Dedup keeper selection: connected components over the LSH
+    candidate pairs via min-label propagation — the step that turns
+    near-dup PAIRS into dedup DECISIONS (component id = min doc_id in
+    the cluster; that doc is the keeper). The loop is the standard
+    Pregel-free CC: labels only decrease, so comparing the (monotone)
+    label sum detects the fixpoint; each iteration is one shuffle join
+    + one hash agg over the edge relation, exactly how GraphFrames'
+    CC behaves without the dependency. Cluster diameters in near-dup
+    graphs are tiny (dups of one page link to each other), so the loop
+    converges in a handful of iterations regardless of corpus size;
+    the driver only ever sees one scalar per iteration. DuckDB oracle:
+    the same closure as a recursive CTE.
+
+    Each iteration localCheckpoints the label relation: without
+    lineage truncation the logical plan doubles per iteration
+    (labels_{i+1} references sym AND labels_i) and the driver OOMs
+    just STRINGIFYING the tree by iteration ~8 — the classic
+    iterative-algorithm pitfall; on a cluster this would be a
+    reliable checkpoint() to object storage."""
+    pairs = dd_minhash_lsh(spark, sf)
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))).localCheckpoint()
+    labels = (sym.select(F.col("doc_a").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+    prev_sum = None
+    for _ in range(20):  # safety cap >> any near-dup cluster diameter
+        labels = labels.localCheckpoint()  # truncate lineage, eager
+        cur = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur is None or cur == prev_sum:
+            break
+        prev_sum = cur
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
+            .select(F.col("doc_a").alias("node"), "comp"))
+        labels = (labels.union(neigh)
+                  .groupBy("node").agg(F.min("comp").alias("comp")))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component"),
+        F.when(F.col("node") == F.col("comp"), "true")
+        .otherwise("false").alias("is_keeper"))
+
+
+DD_COMPONENTS_SQL = f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+bands AS (SELECT unnest(range({N_BANDS})) AS band),
+sigs AS ({_CAPPED_SIGS_SQL}),
+e AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+reach(node, root) AS (
+  SELECT n, n FROM (SELECT a AS n FROM e UNION SELECT b FROM e) t(n)
+  UNION
+  SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
+  FROM reach r JOIN e ON r.node IN (e.a, e.b))
+SELECT node AS doc_id, min(root) AS component,
+       CASE WHEN min(root) = node THEN 'true' ELSE 'false' END
+         AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 def dd_minhash_num(spark, sf):
     """Numeric MinHash band signatures: the same md5 minhash projected
     to BIGINT (first 15 hex digits, 60 bits) so the per-band min is a
@@ -859,6 +923,7 @@ QUERIES = {
     "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_minhash_salted": (dd_minhash_salted, DD_MINHASH_SALTED_SQL),
+    "dd_components": (dd_components, DD_COMPONENTS_SQL),
     "dd_minhash_num": (dd_minhash_num, DD_MINHASH_NUM_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),

@@ -46,3 +46,36 @@ def test_lsh_jaccard_matches_brute_force(spark):
     # candidate recall on this corpus: total (the 4-band minhash keys
     # collide for every >=5-shingle-overlap pair here)
     assert set(got) == set(truth)
+
+
+def test_components_ground_truth(spark, tmp_path):
+    """Planted clusters: three near-dup families (shared long prefix,
+    unique tails) plus isolated docs. dd_components must assign every
+    family exactly one component labeled by its min doc_id, never
+    merge families, and ignore docs with no near-dup at all."""
+    base_a = " ".join(f"alpha{i}" for i in range(25))
+    base_b = " ".join(f"beta{i}" for i in range(25))
+    base_c = " ".join(f"gamma{i}" for i in range(25))
+    rows = []
+    for i in range(4):
+        rows.append((10 + i, f"{base_a} tail{i}", 200, "x"))
+    for i in range(3):
+        rows.append((20 + i, f"{base_b} tail{i}", 200, "x"))
+    for i in range(2):
+        rows.append((30 + i, f"{base_c} tail{i}", 200, "x"))
+    rows.append((99, " ".join(f"loner{i}" for i in range(30)), 200, "x"))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from pdf_extraction_api_spark.operators.textops import dd_components
+
+    got = {r.doc_id: (r.component, r.is_keeper)
+           for r in dd_components(spark, str(tmp_path)).collect()}
+    assert 99 not in got  # no edges → not in the component relation
+    for i in range(4):
+        assert got[10 + i] == (10, "true" if i == 0 else "false")
+    for i in range(3):
+        assert got[20 + i] == (20, "true" if i == 0 else "false")
+    for i in range(2):
+        assert got[30 + i] == (30, "true" if i == 0 else "false")
