@@ -289,7 +289,8 @@ def _write_scaling_md(low, high, factor, out, eff, ceiling, normalized):
         _json.loads(ln) for ln in hist_path.read_text().splitlines() if ln
     ]
     rows = "\n".join(
-        f"| {h['docs']} | {h['t_low']} | {h['t_high']} "
+        f"| {h['docs']} | {h.get('low', 4)}→{h.get('high', 16)} "
+        f"| {h['t_low']} | {h['t_high']} "
         f"| {h['docs_per_sec_high']} | {h['efficiency']} "
         f"| {h['machine_ceiling']} | {h['normalized']} |"
         for h in history
@@ -307,11 +308,11 @@ def _write_scaling_md(low, high, factor, out, eff, ceiling, normalized):
         "steal; measured each run as the no-Spark `machine ceiling` — "
         "pure-CPU multiprocessing scaling over the same window), so "
         "every measured run is recorded:\n\n"
-        f"| docs | T{low} s | T{high} s | docs/s@{high} | efficiency "
+        "| docs | levels | T_low s | T_high s | docs/s@high | efficiency "
         "| machine ceiling | eff/ceiling |\n"
-        "|---|---|---|---|---|---|---|\n"
+        "|---|---|---|---|---|---|---|---|\n"
         f"{rows}\n\n"
-        f"**Best measured efficiency ({low}→{high}) = {best}** "
+        f"**Best measured efficiency = {best}** "
         "(target ≥ 0.8, BASELINE.json); ceiling-normalized efficiency "
         "stays ~0.9-1.0 across runs — the residual gap tracks host "
         "steal, not the job. 8→32 numbers from earlier rounds are in "

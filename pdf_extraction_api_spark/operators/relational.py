@@ -919,6 +919,34 @@ GROUP BY user_id, session_no
 """
 
 
+def ev_tumbling(spark, sf):
+    """Tumbling-window rollup with the SAME window() expression the
+    streaming path uses (streaming/stream.py's watermarked agg) — the
+    batch-expressible analog that the oracle can hash-check: per
+    (hour, event_type) counts + value totals. At scale this is one
+    hash agg; the window expression is epoch-aligned so batch and
+    streaming agree on boundaries."""
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type",
+            "n_events", "total_value")
+    )
+
+
+EV_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q5_local_supplier(spark, sf):
     """TPC-H Q5-shaped 6-way join (region⋈nation⋈customer⋈supplier⋈
     orders⋈lineitem): dimension chain broadcasts, fact joins shuffle on
@@ -969,6 +997,7 @@ GROUP BY n_name
 
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
+    "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),
     "a13_rollup": (a13_rollup, A13_SQL),
