@@ -136,11 +136,14 @@ def clean_grid(raw: list[list]) -> list[list[str]]:
                 continue
             if not isinstance(cell, str):
                 cell = str(cell)
-            s = _WS.sub(" ", cell.strip())
+            # == _WS.sub(" ", cell.strip()): str.split whitespace is
+            # exactly regex \s (verified over all of Unicode), 3x
+            # faster; refkernel keeps the regex spelling (parity-pinned)
+            s = " ".join(cell.split())
             if not s.isprintable():
                 s = "".join(ch for ch in s if ch.isprintable())
             # (refkernel follows with replace('\n'/'\r', ' ') — no-ops
-            # after the \s+ sub, so they are elided here)
+            # after the whitespace collapse, so they are elided here)
             crow.append(s)
             if s:
                 keep = True

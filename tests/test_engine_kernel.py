@@ -104,3 +104,18 @@ def test_never_on_lower_patterns_are_dead():
         # and the lowercase transform is not an identity on the
         # mandatory atom (guards against a future all-caps-free edit)
         assert probe.lower() != probe
+
+
+def test_split_whitespace_equals_regex_ws():
+    """model._norm/tablepipe.clean_grid use ' '.join(s.split()) where
+    refkernel uses re \\s+ sub — valid ONLY if str.split's whitespace
+    set equals regex \\s for every codepoint. Pin that exhaustively so
+    a CPython unicode-table change can never silently split the two
+    kernels."""
+    import re
+    import sys
+
+    ws = re.compile(r"\s")
+    bad = [cp for cp in range(sys.maxunicode + 1)
+           if bool(ws.match(chr(cp))) != (chr(cp).split() == [])]
+    assert bad == [], [hex(b) for b in bad[:10]]
