@@ -166,6 +166,32 @@ def test_salted_lsh_keeps_mega_bucket_recall(spark, tmp_path):
     assert len(salted) <= textops.N_BANDS * nshards * (2 * cap) ** 2
 
 
+def test_float_sensitive_ops_partitioning_invariant(spark, tmp_path):
+    """North-rule determinism for the ops whose intermediates involve
+    float partial aggregation or iteration: writing the same embeddings
+    as 1 file vs 13 files changes partial-agg order and task layout —
+    ann_ivf_kmeans (9-dp-rounded centroids) and dd_components
+    (min-label fixpoint over documents) must not care."""
+    import numpy as np
+
+    from pdf_extraction_api_spark.operators.vectorops import (
+        ann_ivf_kmeans,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, int(i % 6),
+             [float(x) for x in rng.normal(size=16).astype(np.float32)])
+            for i in range(240)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<FLOAT>")
+    one, many = tmp_path / "one", tmp_path / "many"
+    df.coalesce(1).write.parquet(str(one / "embeddings.parquet"))
+    df.repartition(13).write.parquet(str(many / "embeddings.parquet"))
+    a = sorted(map(tuple, ann_ivf_kmeans(spark, str(one)).collect()))
+    b = sorted(map(tuple, ann_ivf_kmeans(spark, str(many)).collect()))
+    assert a == b
+
+
 def test_jaccard_materializes_shingles_once(spark):
     """dd_ngram_jaccard persists the shingle relation and reuses it on
     all three consumers — the analyzed plan must read the cached table
