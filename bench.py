@@ -299,11 +299,13 @@ def _write_scaling_md(low, high, factor, out, eff, ceiling, normalized):
     md.write_text(
         "# BENCH — measured numbers\n\n"
         "Extraction job (full kernel, noop sink) over the deterministic "
-        "pages corpus (seed 42), same input at two parallelism levels "
-        f"(local[{low}] vs local[{high}] — the N vs 4N sandbox proxy, "
-        "BASELINE.md). Identical physical plans at both levels (fixed "
-        "scan-split size off the widest level); alternating repetitions, "
-        "min-of-runs per level.\n\n"
+        "pages corpus (seed 42), same input at two parallelism levels — "
+        "the N vs 4N sandbox proxy (BASELINE.md): default local[4] vs "
+        "local[16], plus local[2] vs local[8] runs that give the JVM's "
+        "sidecar threads (scan/Arrow/GC) core headroom at BOTH levels. "
+        "Identical physical plans at both levels (fixed scan-split size "
+        "off the widest level); alternating repetitions, min-of-runs "
+        "per level.\n\n"
         "This VM's per-core throughput varies minute-to-minute (vCPU "
         "steal; measured each run as the no-Spark `machine ceiling` — "
         "pure-CPU multiprocessing scaling over the same window), so "
