@@ -345,6 +345,73 @@ FROM reach GROUP BY node
 """
 
 
+def dd_keep_list(spark, sf):
+    """The end-to-end dedup DELIVERABLE: which documents survive.
+    Composes the verified stages — exact dedup (hash groupBy keeper),
+    then near-dup components over the LSH candidates — into the final
+    keep-list with a reason per survivor ('unique' / 'exact_keeper' /
+    'near_keeper'). A doc survives iff it is its exact-hash group's
+    min id AND (it has no near-dup component or it is that component's
+    keeper). Plan: the exact stage is one hash agg + self-join on the
+    hash; the component stage is dd_components; the composition adds
+    one broadcastable left join. Components run over the raw LSH
+    candidates here (aggressive); a stricter pipeline feeds
+    dd_ngram_jaccard's verified pairs into the same component step —
+    the seam is the pair relation, nothing else changes."""
+    d = T(spark, sf, "documents")
+    ex = dd_exact(spark, sf)  # (h, keeper_id, n_copies)
+    comp = dd_components(spark, sf)  # (doc_id, component, is_keeper)
+    keepers = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .join(ex, "h")
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "n_copies")
+    )
+    out = keepers.join(comp, "doc_id", "left")
+    return (
+        out.filter(F.col("is_keeper").isNull()
+                   | (F.col("is_keeper") == "true"))
+        .select(
+            "doc_id",
+            F.when(F.col("is_keeper").isNotNull(), "near_keeper")
+            .when(F.col("n_copies") > 1, "exact_keeper")
+            .otherwise("unique").alias("reason"),
+        )
+    )
+
+
+DD_KEEP_LIST_SQL = f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+bands AS (SELECT unnest(range({N_BANDS})) AS band),
+sigs AS ({_CAPPED_SIGS_SQL}),
+e AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+reach(node, root) AS (
+  SELECT n, n FROM (SELECT a AS n FROM e UNION SELECT b FROM e) t(n)
+  UNION
+  SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
+  FROM reach r JOIN e ON r.node IN (e.a, e.b)),
+comp AS (
+  SELECT node AS doc_id, min(root) AS component,
+         CASE WHEN min(root) = node THEN 'true' ELSE 'false' END
+           AS is_keeper
+  FROM reach GROUP BY node),
+ex AS (SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+              count(*) AS n_copies
+       FROM documents GROUP BY md5(text))
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL THEN 'near_keeper'
+            WHEN ex.n_copies > 1 THEN 'exact_keeper'
+            ELSE 'unique' END AS reason
+FROM documents d
+JOIN ex ON md5(d.text) = ex.h AND d.doc_id = ex.keeper_id
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.is_keeper = 'true'
+"""
+
+
 def dd_minhash_num(spark, sf):
     """Numeric MinHash band signatures: the same md5 minhash projected
     to BIGINT (first 15 hex digits, 60 bits) so the per-band min is a
@@ -914,16 +981,87 @@ GROUP BY o.doc_id
 """
 
 
+_MIX_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def tx_mix_rebalance(spark, sf):
+    """Corpus mix rebalancing — the data-mixing step of a training
+    pipeline: given target language proportions, compute per-lang keep
+    rates (target share / actual share, renormalized so the largest
+    rate is 1.0 — you can only downsample) and apply them with the
+    deterministic md5 hash sampler (reproducible across engines/runs,
+    pushes down as a plain filter). Output: per-lang kept counts +
+    the applied rate. Plan: one tiny counts agg (broadcast), then a
+    map-side filter over the scan — no second shuffle until the final
+    rollup."""
+    d = T(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = d.count()  # one scalar (scan count, columnless)
+    target = F.create_map(
+        *[F.lit(x) for kv in _MIX_TARGET.items() for x in kv])
+    rated = counts.select(
+        "lang", "n_lang",
+        (F.coalesce(target[F.col("lang")], F.lit(0.0))
+         / (F.col("n_lang") / F.lit(float(total)))).alias("raw_rate"),
+    )
+    max_rate = rated.agg(F.max("raw_rate")).collect()[0][0] or 1.0
+    rates = rated.select(
+        "lang", "n_lang",
+        F.round(F.col("raw_rate") / F.lit(float(max_rate)), 9)
+        .alias("rate"))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 4), 16, 10).cast("long")
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate") * 65536)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("first_id"))
+        .join(rates.select("lang", "n_lang", "rate"), "lang")
+        .select("lang", "n_lang", "rate", "n_kept", "first_id")
+    )
+
+
+def _mix_sql() -> str:
+    pairs = ", ".join(f"('{k}', {v})" for k, v in _MIX_TARGET.items())
+    return f"""
+WITH tgt(lang, share) AS (VALUES {pairs}),
+cnt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+tot AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT c.lang, c.n_lang,
+         coalesce(CAST(t.share AS DOUBLE), 0.0)
+           / (c.n_lang / CAST(tot.n AS DOUBLE)) AS raw_rate
+  FROM cnt c LEFT JOIN tgt t USING (lang), tot),
+rates AS (
+  SELECT lang, n_lang,
+         round(raw_rate / (SELECT max(raw_rate) FROM raw), 9) AS rate
+  FROM raw),
+kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN rates r USING (lang)
+  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+             AS BIGINT) < r.rate * 65536)
+SELECT k.lang, r.n_lang, r.rate,
+       count(*) AS n_kept, min(k.doc_id) AS first_id
+FROM kept k JOIN rates r USING (lang)
+GROUP BY k.lang, r.n_lang, r.rate
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "tx_gopher_quality": (tx_gopher_quality, TX_GOPHER_SQL),
     "tx_trigram_ppl": (tx_trigram_ppl, TX_TRIGRAM_PPL_SQL),
+    "tx_mix_rebalance": (tx_mix_rebalance, _mix_sql()),
     "tx_hash_sample": (tx_hash_sample, TX_HASH_SAMPLE_SQL),
     "tx_pii_scrub": (tx_pii_scrub, TX_PII_SQL),
     "tx_vocab_topk": (tx_vocab_topk, TX_VOCAB_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_minhash_salted": (dd_minhash_salted, DD_MINHASH_SALTED_SQL),
     "dd_components": (dd_components, DD_COMPONENTS_SQL),
+    "dd_keep_list": (dd_keep_list, DD_KEEP_LIST_SQL),
     "dd_minhash_num": (dd_minhash_num, DD_MINHASH_NUM_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
