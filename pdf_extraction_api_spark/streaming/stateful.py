@@ -74,3 +74,80 @@ def first_seen_stream(pages_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_GAP_MIN = 30
+
+SESSION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_no", LongType()),
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("session_value", StringType()),  # %.2f — hash-stable
+])
+# open-session state: epoch-microsecond timestamps (LongType avoids
+# tz/codec ambiguity in the state store)
+SESSION_STATE = StructType([
+    StructField("session_no", LongType()),
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("value_sum", StringType()),  # repr(float) round-trip
+])
+
+
+def _sessionize(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Gap-based sessionization with cross-batch state: a session
+    CLOSES (and is emitted) when a later event of the same user
+    arrives more than SESSION_GAP_MIN after the previous one; the
+    still-open session lives in the state store and survives
+    restarts. Events are processed in event-time order within the
+    available data (same total order as ev_sessionize's window)."""
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    if state.exists:
+        sess_no, start_us, last_us, n_ev, vsum_s = state.get
+        vsum = float(vsum_s)
+        open_sess = True
+    else:
+        sess_no, start_us, last_us, n_ev, vsum = 0, 0, 0, 0, 0.0
+        open_sess = False
+    closed: list[tuple] = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    for ts, val in zip(rows["ts"].values, rows["value"].values):
+        t_us = int(pd.Timestamp(ts).value // 1000)
+        if open_sess and t_us - last_us > gap_us:
+            closed.append(
+                (key[0], sess_no, start_us, last_us, n_ev,
+                 f"{vsum:.2f}"))
+            open_sess = False
+        if not open_sess:
+            sess_no += 1
+            start_us, n_ev, vsum = t_us, 0, 0.0
+            open_sess = True
+        last_us = t_us
+        n_ev += 1
+        vsum += float(val)
+    state.update((sess_no, start_us, last_us, n_ev, repr(vsum)))
+    yield pd.DataFrame(
+        closed, columns=[f.name for f in SESSION_OUT.fields])
+
+
+def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+    """Closed sessions per user (gap > SESSION_GAP_MIN), exactly once
+    across microbatches; the open tail stays in keyed state."""
+    keyed = events_stream.select("user_id", "event_id", "ts", "value")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

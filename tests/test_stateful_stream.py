@@ -46,3 +46,60 @@ def test_first_seen_across_batches(spark, tmp_path):
     urls = [r["url"] for r in rows]
     assert len(urls) == 200          # 400 arrivals → 200 emissions
     assert len(set(urls)) == 200     # exactly once each
+
+
+def test_stateful_sessionize_across_batches_and_restart(spark, tmp_path):
+    """Gap-close sessionization: sessions close only when a later
+    event crosses the 30-min gap; the open session survives BOTH
+    microbatch boundaries and a full query restart (state store)."""
+    import datetime as dt
+
+    from pdf_extraction_api_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(events, path):
+        df = spark.createDataFrame(
+            [(eid, t0 + dt.timedelta(minutes=m), uid, "click", v, "{}")
+             for eid, m, uid, v in events],
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # batch A: user 7 session 1 (two events 5 min apart)
+    mk([(1, 0, 7, 1.0), (2, 5, 7, 2.0)], str(src / "a.parquet"))
+    # batch B: 60 min later → closes session 1, opens session 2
+    mk([(3, 60, 7, 4.0), (4, 61, 7, 8.0)], str(src / "b.parquet"))
+
+    schema = spark.read.parquet(str(src / "a.parquet")).schema
+    out_dir = str(tmp_path / "closed")
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*.parquet")))
+
+        def sink(df, _bid):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (sessionize_stream(stream)
+             .writeStream.foreachBatch(sink)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return {(r.user_id, r.session_no):
+                (r.n_events, r.session_value)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    first = run()
+    # only session 1 closed; session 2 still open in state
+    assert first == {(7, 1): (2, "3.00")}
+    # batch C (after RESTART of the query): 200 min later closes it
+    mk([(5, 200, 7, 16.0)], str(src / "c.parquet"))
+    second = run()
+    assert second == {(7, 1): (2, "3.00"), (7, 2): (2, "12.00")}
