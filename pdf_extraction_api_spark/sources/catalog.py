@@ -152,10 +152,17 @@ class SnapshotCatalog:
                     try:
                         if time.time() - lock.stat().st_mtime > \
                                 self.LOCK_STALE:
-                            lock.unlink(missing_ok=True)
+                            # claim the break atomically: rename wins
+                            # exactly once — a plain unlink could race
+                            # another breaker and delete the FRESH
+                            # lock that breaker's winner just created
+                            claimed = lock.with_name(
+                                f".commit.stale-{uuid.uuid4().hex}")
+                            os.rename(lock, claimed)
+                            claimed.unlink(missing_ok=True)
                             continue
                     except OSError:
-                        continue  # holder released between stat/unlink
+                        continue  # lock changed hands mid-break
                     if time.monotonic() > deadline:
                         raise TimeoutError(
                             f"commit lock on {tdir} held for >"

@@ -188,3 +188,52 @@ def test_carry_collision_rejected(spark):
         [("u", b"<p>x</p>", "en")], "url STRING, html BINARY, lang STRING")
     with pytest.raises(ValueError, match="carry"):
         run_extraction(pages, carry=("url",))
+
+
+def test_commit_lock_stale_break_and_contention(spark, tmp_path):
+    """A crashed committer's stale lock must be broken (atomically —
+    via rename-claim, so concurrent breakers can never delete a fresh
+    lock), and concurrent appends under the lock must serialize with
+    unique sequence numbers."""
+    import os
+    import threading
+    import time
+
+    from pdf_extraction_api_spark.sources.catalog import SnapshotCatalog
+
+    cat = _cat(tmp_path, "wh")
+    tdir = tmp_path / "wh" / "t"
+    tdir.mkdir(parents=True)
+    # a stale lock from a "crashed" committer
+    lock = tdir / ".commit.lock"
+    lock.write_text("dead 0")
+    old = time.time() - SnapshotCatalog.LOCK_STALE - 10
+    os.utime(lock, (old, old))
+    cat.append(_df(spark, [("a", 1)]), "t", run_id="r1")  # breaks it
+    assert {r.url for r in cat.read(spark, "t").collect()} == {"a"}
+
+    # contention: many threads commit pre-written file lists under the
+    # lock (bypassing Spark writes for speed) — sequences stay unique
+    results, errors = [], []
+
+    def committer(i):
+        try:
+            c = SnapshotCatalog(str(tmp_path / "wh"))
+            with c._commit_lock(tdir):
+                prev = c.last_snapshot("t")
+                m = {"sequence": prev["sequence"] + 1,
+                     "run_id": f"t{i}", "files": [],
+                     "parent": prev["run_id"],
+                     "committed_at_unix": int(time.time())}
+                results.append(c._commit(tdir, m)["sequence"])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=committer, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(results) == list(range(2, 10))  # unique, gapless
