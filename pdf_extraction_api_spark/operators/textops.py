@@ -995,14 +995,20 @@ def tx_mix_rebalance(spark, sf):
     map-side filter over the scan — no second shuffle until the final
     rollup."""
     d = T(spark, sf, "documents")
-    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
-    total = d.count()  # one scalar (scan count, columnless)
-    target = F.create_map(
-        *[F.lit(x) for kv in _MIX_TARGET.items() for x in kv])
-    rated = counts.select(
+    # ONE scan: the per-lang counts agg; its ≤|langs| rows come to the
+    # driver and the rate math runs over literals (same Spark double
+    # expressions as the oracle — bit-identical), so no second
+    # full-table count() scan and no extra job for the max.
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_lang")).collect()
+    total = float(sum(r.n_lang for r in stats))
+    base = spark.createDataFrame(
+        [(r.lang, r.n_lang, float(_MIX_TARGET.get(r.lang, 0.0)))
+         for r in stats],
+        "lang STRING, n_lang BIGINT, share DOUBLE")
+    rated = base.select(
         "lang", "n_lang",
-        (F.coalesce(target[F.col("lang")], F.lit(0.0))
-         / (F.col("n_lang") / F.lit(float(total)))).alias("raw_rate"),
+        (F.col("share")
+         / (F.col("n_lang") / F.lit(total))).alias("raw_rate"),
     )
     max_rate = rated.agg(F.max("raw_rate")).collect()[0][0] or 1.0
     rates = rated.select(
