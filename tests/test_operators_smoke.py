@@ -81,6 +81,25 @@ def test_new_query_plan_shapes(spark, registry):
     assert "CartesianProduct" not in p
 
 
+def test_registry_plan_lint(spark, registry):
+    """No registry query may plan a CartesianProduct (unbounded pair
+    blowup) or row-at-a-time Python (BatchEvalPython / scalar
+    PythonUDF) — the two anti-patterns that silently kill 100 TB runs.
+    Arrow-batched mapInPandas/applyInPandas operators are the only
+    sanctioned Python."""
+    queries, _ = registry
+    offenders = {}
+    for name, fn in queries.items():
+        plan = (fn(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        bad = [pat for pat in
+               ("CartesianProduct", "BatchEvalPython", "PythonUDF")
+               if pat in plan]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
+
+
 def test_bpe_tokens_vertical_tab_parity(spark, tmp_path):
     """Java \\s matches \\x0B, RE2's does not — the pattern spells the
     whitespace class out so both engines agree on vertical tabs."""
