@@ -6,12 +6,19 @@ no Python in the hot path) with DuckDB oracles:
 
 - exact dedup (hash groupBy)                      → dd_exact
 - MinHash+LSH near-dup (shingle→band→bucket join) → dd_minhash_lsh
+  (+ salted mega-bucket variant                   → dd_minhash_salted)
 - n-gram Jaccard verification of candidates       → dd_ngram_jaccard
 - SimHash signatures (bitwise majority)           → dd_simhash
+- connected-components keeper selection           → dd_components
+- end-to-end dedup keep-list                      → dd_keep_list
 - language-ID by keyword-hit argmax               → tx_langid_argmax
 - quality scoring (length/punct/stopword ratios)  → tx_quality
-- token counting                                  → tx_tokens
+- Gopher repetition/quality rules                 → tx_gopher_quality
+- self-trained trigram-LM perplexity signal       → tx_trigram_ppl
+- token counting (whitespace + BPE-regex)         → tx_tokens(_bpe)
 - document fingerprinting (min-hash of 8-grams)   → tx_fingerprint
+- deterministic hash sampling / mix rebalancing   → tx_hash_sample,
+                                                    tx_mix_rebalance
 
 Portability notes: the hash primitive is md5 (identical in Spark and
 DuckDB — Spark's xxhash64/hash are JVM-specific so they never appear in
