@@ -211,6 +211,29 @@ def test_float_sensitive_ops_partitioning_invariant(spark, tmp_path):
     assert a == b
 
 
+def test_salted_equals_capped_below_cap(spark, tmp_path):
+    """With every bucket under the cap, salting is the identity:
+    dd_minhash_salted and dd_minhash_lsh must emit the same pairs
+    (salt 0 everywhere). Uses a mixed corpus of small near-dup
+    families."""
+    from pdf_extraction_api_spark.operators import textops
+
+    rows = []
+    for fam in range(12):
+        base = " ".join(f"w{fam}_{i}" for i in range(20))
+        for j in range(fam % 5 + 2):  # families of 2-6 docs
+            rows.append((fam * 100 + j, f"{base} tail{j}", 200, "x"))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    capped = {(r.doc_a, r.doc_b) for r in
+              textops.dd_minhash_lsh(spark, str(tmp_path)).collect()}
+    salted = {(r.doc_a, r.doc_b) for r in
+              textops.dd_minhash_salted(spark, str(tmp_path)).collect()}
+    assert capped  # families actually collide
+    assert salted == capped
+
+
 def test_jaccard_materializes_shingles_once(spark):
     """dd_ngram_jaccard persists the shingle relation and reuses it on
     all three consumers — the analyzed plan must read the cached table
