@@ -19,6 +19,15 @@ byte-parity evidence beyond the clean fixture families:
 - mixed-encoding bytes (utf-8 with stray latin-1 bytes → the kernel's
   decode fallback path)
 - tables interrupted mid-row by crawler truncation
+- UTF-8 BOM prefixes and zero-width / bidi-mark characters in prose
+  (neither kernel strips the BOM — parity pins the shared behavior)
+- <base href> + relative/protocol-relative/javascript:/mailto:/data:
+  URL soup in link-dense blocks (link-density rule must not care
+  about URL shape)
+- RTL text (Arabic/Hebrew) with explicit bidi embedding controls,
+  mixed with Latin digits
+- very-long single-line minified documents (one mega-<p>, no
+  newlines — scanner buffer + block-cap stress)
 
 Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
 byte-equality) — pure Python, no Spark session needed.
@@ -148,11 +157,77 @@ def _link_farm(rng: random.Random) -> str:
             f"{links} {rng.choice(_WORDS)}</p>")
 
 
+_ZERO_WIDTH = ["​", "‎", "‏", "﻿"]
+
+_RTL_WORDS = [
+    "مرحبا",          # Arabic: marhaba
+    "العالم",    # Arabic: al-alam
+    "تقرير",          # Arabic: taqrir
+    "שלום",                # Hebrew: shalom
+    "חדשות",          # Hebrew: chadashot
+    "כלכלה",          # Hebrew: kalkala
+]
+
+_URL_SHAPES = [
+    "//cdn.example/{w}.js", "/{w}/index.html", "../{w}", "{w}.html",
+    "javascript:void(0)", "mailto:{w}@example.com", "#{w}",
+    "data:text/plain,{w}", "https://other.example/{w}?a=1&b=2",
+    "/{w} with space", "",
+]
+
+
+def _base_url_soup(rng: random.Random) -> str:
+    """<base href> plus links across every URL shape a crawl sees —
+    relative, protocol-relative, javascript:, mailto:, data:,
+    fragment-only, empty. The link-density boilerplate rule counts
+    anchor text regardless of URL shape; parity pins that."""
+    base = rng.choice([
+        '<base href="https://hard.example/sub/dir/">',
+        '<base href="/rooted/" target="_blank">',
+        "<base>",  # no href at all
+    ])
+    links = " ".join(
+        '<a href="{}">{} {}</a>'.format(
+            rng.choice(_URL_SHAPES).format(w=w), w, rng.choice(_WORDS))
+        for w in rng.sample(_WORDS, rng.randint(3, 8)))
+    tail = _prose(rng, rng.randint(0, 12))
+    return f"{base}<p>{links} {tail}</p>"
+
+
+def _rtl_block(rng: random.Random) -> str:
+    """RTL prose with explicit bidi controls (RLE/PDF, RLM/LRM) and
+    embedded Latin digits — the byte stream both kernels must carry
+    through text extraction unchanged."""
+    words = []
+    for _ in range(rng.randint(6, 25)):
+        w = rng.choice(_RTL_WORDS)
+        if rng.random() < 0.25:
+            w += str(rng.randint(0, 999))
+        if rng.random() < 0.2:
+            w = rng.choice(_ZERO_WIDTH) + w
+        words.append(w)
+    body = " ".join(words)
+    if rng.random() < 0.5:
+        body = "‫" + body + "‬"  # RLE ... PDF embedding
+    tag = rng.choice(["p", "blockquote", "h2"])
+    return f'<{tag} dir="rtl">{body}</{tag}>'
+
+
+def _megaline(rng: random.Random) -> str:
+    """One minified mega-paragraph: thousands of words, zero newlines.
+    Stresses scanner buffering and any per-block windowing cap."""
+    n = rng.randint(1500, 4000)
+    body = " ".join(rng.choice(_WORDS) for _ in range(n))
+    return f"<p>{body}</p>"
+
+
 def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     rng = random.Random((seed << 20) ^ doc_id)
     parts = [rng.choice(["<!DOCTYPE html>", "<!doctype HTML >", ""])]
+    if rng.random() < 0.04:  # rare: very-long single-line document
+        parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(10)
+        kind = rng.randrange(13)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -171,12 +246,23 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_nested_table(rng))
         elif kind == 8:
             parts.append(_link_farm(rng) + rng.choice(_MARKED))
+        elif kind == 9:
+            parts.append(_base_url_soup(rng))
+        elif kind == 10:
+            parts.append(_rtl_block(rng))
+        elif kind == 11:
+            w = rng.choice(_WORDS)
+            parts.append(
+                f"<p>{w}{rng.choice(_ZERO_WIDTH)}{rng.choice(_WORDS)} "
+                f"{_prose(rng, 10)}</p>")
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
                 f"<p>{_prose(rng, 20)}</p>"
                 + ("</section>" if rng.random() < 0.8 else ""))
     html = "".join(parts).encode("utf-8")
+    if rng.random() < 0.10:  # UTF-8 BOM prefix (neither kernel strips)
+        html = b"\xef\xbb\xbf" + html
     if rng.random() < 0.15:  # stray non-utf8 byte → latin-1 fallback
         cut = rng.randrange(max(1, len(html)))
         html = html[:cut] + bytes([rng.randint(0x80, 0xFF)]) + html[cut:]
