@@ -19,6 +19,8 @@ no Python in the hot path) with DuckDB oracles:
 - document fingerprinting (min-hash of 8-grams)   → tx_fingerprint
 - deterministic hash sampling / mix rebalancing   → tx_hash_sample,
                                                     tx_mix_rebalance
+- benchmark decontamination (13-gram overlap)     → tx_decontam
+- cross-doc common-span report (disjoint windows) → dd_common_segments
 
 Portability notes: the hash primitive is md5 (identical in Spark and
 DuckDB — Spark's xxhash64/hash are JVM-specific so they never appear in
@@ -1063,8 +1065,165 @@ GROUP BY k.lang, r.n_lang, r.rate
 """
 
 
+DECONTAM_N = 13   # canonical eval-overlap n-gram size (GPT-3 App. C)
+DECONTAM_MOD = 7  # deterministic benchmark subset: doc_id % MOD == 0
+
+
+def tx_decontam(spark, sf):
+    """Benchmark decontamination — the eval-overlap gate of a training
+    pipeline (GPT-3 Appendix C / PaLM style): flag corpus documents
+    sharing any 13-gram with a held-out benchmark set. The benchmark
+    here is the deterministic subset doc_id % 7 == 0 (a stand-in for
+    the real eval suites, which are tiny next to the corpus).
+
+    Scale shape: the benchmark's distinct 13-gram hashes are a small
+    relation → BROADCAST to every executor; the corpus side builds its
+    n-gram hashes map-side (array transform, no shuffle), explodes,
+    and hits the broadcast hash join in-stream — the only shuffle is
+    the per-doc rollup of MATCHED rows, which is tiny (contamination
+    is rare by construction). At 100 TB nothing but the hits ever
+    leaves the scan stage. Hashes (md5) stand in for the 64-bit
+    fingerprints a production run would broadcast instead of strings."""
+    d = T(spark, sf, "documents")
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= DECONTAM_N)
+    # The CASE guard looks redundant next to the filter above, but it
+    # is load-bearing: InferFiltersFromGenerate derives a
+    # size(gs) > 0 predicate from the explode below and pushes it into
+    # the scan's data filters, where it evaluates on rows the size
+    # filter would have dropped — and sequence(0, size-N) on a short
+    # doc descends to -1, making slice throw on start=0. CASE WHEN is
+    # lazy, so the guarded expression is total.
+    grams = toked.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.when(
+            F.size("toks") >= DECONTAM_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - DECONTAM_N),
+                lambda i: F.md5(F.array_join(
+                    F.slice("toks", i + 1, DECONTAM_N), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("gs"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+        .select(F.explode("gs").alias("g")).distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+        .select("doc_id", "n_toks", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+    )
+    n_ngrams = (F.max("n_toks") - DECONTAM_N + 1).cast("long")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hit"), n_ngrams.alias("n_ngrams"))
+        .select(
+            "doc_id", "n_ngrams", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_ngrams").cast("double"), 6)
+            .alias("contam_frac"),
+        )
+    )
+
+
+TX_DECONTAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+ng AS (
+  SELECT doc_id, len(t) AS n_toks,
+         list_transform(range(len(t) - {DECONTAM_N} + 1),
+           i -> md5(array_to_string(t[i + 1:i + {DECONTAM_N}], ' '))) AS gs
+  FROM toks WHERE len(t) >= {DECONTAM_N}),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM ng
+  WHERE doc_id % {DECONTAM_MOD} = 0)
+SELECT n.doc_id,
+       max(n.n_toks) - {DECONTAM_N} + 1 AS n_ngrams,
+       count(DISTINCT u.g) AS n_hit,
+       CAST(round(count(DISTINCT u.g)
+             / CAST(max(n.n_toks) - {DECONTAM_N} + 1 AS DOUBLE), 6)
+            AS DOUBLE) AS contam_frac
+FROM ng n, LATERAL (SELECT unnest(n.gs) AS g) u
+JOIN bench b ON b.g = u.g
+WHERE n.doc_id % {DECONTAM_MOD} <> 0
+GROUP BY n.doc_id
+"""
+
+
+SEGMENT_N = 8  # disjoint token-window width for cross-doc span dedup
+
+
+def dd_common_segments(spark, sf):
+    """Cross-document common-span detection (the C4 'repeated
+    three-sentence span' rule re-expressed over token windows):
+    chunk every document into DISJOINT 8-token segments, hash each,
+    and report segments occurring in ≥2 distinct documents. Downstream
+    a pipeline removes or keeps-one of these spans; the report itself
+    (hash, doc count, first doc) is the auditable artifact.
+
+    Scale shape: disjoint chunking keeps the exploded relation at
+    n_tokens/8 rows (vs n_tokens for sliding shingles); the single
+    shuffle is a map-side-combinable hash aggregate on the segment
+    hash, and the ≥2-docs filter runs post-aggregate (HAVING) so only
+    true repeats survive. No join, no window sort, no squaring."""
+    d = T(spark, sf, "documents")
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= SEGMENT_N)
+    # same total-expression guard as tx_decontam: the explode-inferred
+    # filter evaluates this on pre-filter rows, where the descending
+    # sequence would slice from a negative start
+    segs = toked.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("toks") >= SEGMENT_N,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.floor(F.size("toks") / SEGMENT_N) - 1).cast("int")),
+                lambda g: F.md5(F.array_join(
+                    F.slice("toks", g * SEGMENT_N + 1, SEGMENT_N), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))).alias("seg_hash"),
+    )
+    return (
+        segs.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+DD_SEGMENTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+segs AS (
+  SELECT doc_id, md5(array_to_string(
+           t[g * {SEGMENT_N} + 1:g * {SEGMENT_N} + {SEGMENT_N}], ' '))
+         AS seg_hash
+  FROM toks,
+       LATERAL (SELECT unnest(range(len(t) // {SEGMENT_N})) AS g) u
+  WHERE len(t) >= {SEGMENT_N})
+SELECT seg_hash, count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM segs
+GROUP BY seg_hash
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "tx_decontam": (tx_decontam, TX_DECONTAM_SQL),
+    "dd_common_segments": (dd_common_segments, DD_SEGMENTS_SQL),
     "tx_gopher_quality": (tx_gopher_quality, TX_GOPHER_SQL),
     "tx_trigram_ppl": (tx_trigram_ppl, TX_TRIGRAM_PPL_SQL),
     "tx_mix_rebalance": (tx_mix_rebalance, _mix_sql()),

@@ -79,3 +79,54 @@ def test_components_ground_truth(spark, tmp_path):
         assert got[20 + i] == (20, "true" if i == 0 else "false")
     for i in range(2):
         assert got[30 + i] == (30, "true" if i == 0 else "false")
+
+
+def test_decontam_ground_truth(spark, tmp_path):
+    """Planted eval-overlap: doc 0 (benchmark: 0 % 7 == 0) donates a
+    13-token run to doc 1; doc 2 is clean; doc 7 is a second benchmark
+    doc that matches nothing. Exactly doc 1 is flagged, with exactly
+    one hit (windows touching its unique padding can't match)."""
+    from pdf_extraction_api_spark.operators.textops import tx_decontam
+
+    bench = " ".join(f"b{i}" for i in range(20))
+    planted = " ".join(f"b{i}" for i in range(3, 16))  # b3..b15 = 13
+    rows = [
+        (0, bench, len(bench), "s"),
+        (1, f"u0 u1 {planted} u2 u3 u4 u5 u6 u7 u8", 0, "s"),
+        (2, " ".join(f"c{i}" for i in range(30)), 0, "s"),
+        (7, " ".join(f"d{i}" for i in range(30)), 0, "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = tx_decontam(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.doc_id == 1 and r.n_hit == 1
+    assert r.n_ngrams == 22 - 13 + 1  # doc 1 has 2 + 13 + 7 = 22 tokens
+
+
+def test_common_segments_ground_truth(spark, tmp_path):
+    """Planted shared span: docs 10/11 open with the same 8 tokens
+    (aligned chunk 0); doc 12 contains the same 8 tokens shifted one
+    position, so its DISJOINT chunks never line up and it must NOT
+    join the group — pinning the disjoint-window (not sliding)
+    semantics. Doc 13 is unique."""
+    from pdf_extraction_api_spark.operators.textops import (
+        dd_common_segments,
+    )
+
+    span = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (10, f"{span} " + " ".join(f"x{i}" for i in range(8)), 0, "s"),
+        (11, f"{span} " + " ".join(f"y{i}" for i in range(8)), 0, "s"),
+        (12, "z0 " + span + " " + " ".join(f"w{i}" for i in range(7)),
+         0, "s"),
+        (13, " ".join(f"q{i}" for i in range(16)), 0, "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = dd_common_segments(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 2 and got[0].first_doc == 10
