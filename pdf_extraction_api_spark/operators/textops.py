@@ -21,6 +21,8 @@ no Python in the hot path) with DuckDB oracles:
                                                     tx_mix_rebalance
 - benchmark decontamination (13-gram overlap)     → tx_decontam
 - cross-doc common-span report (disjoint windows) → dd_common_segments
+- end-to-end curation verdict (dedup ∧ gopher ∧
+  not-contaminated, auditable reasons per doc)    → tx_curate
 
 Portability notes: the hash primitive is md5 (identical in Spark and
 DuckDB — Spark's xxhash64/hash are JVM-specific so they never appear in
@@ -1220,10 +1222,69 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def tx_curate(spark, sf):
+    """The end-to-end CURATION deliverable — what a training run
+    actually consumes: the dedup keep-list (exact keepers ∩ near-dup
+    component keepers), annotated per survivor with the Gopher
+    keep/drop flag and the benchmark-contamination flag, plus the
+    final curated verdict (kept ∧ gopher-keep ∧ not contaminated).
+    One row per dedup survivor, auditable reasons on every column —
+    the three stages are the already-oracled dd_keep_list /
+    tx_gopher_quality / tx_decontam, composed here by two left joins.
+
+    Scale shape: keep-list and gopher are per-doc projections of their
+    stages (no new shuffles beyond what the stages own); the contam
+    relation is tiny (hits only) and broadcasts; both joins are on the
+    doc_id key the keep-list already carries."""
+    keep = dd_keep_list(spark, sf)
+    gopher = tx_gopher_quality(spark, sf).select("doc_id", "gopher_flag")
+    contam = tx_decontam(spark, sf).select(
+        "doc_id", F.lit("true").alias("contam"))
+    out = (
+        keep.join(gopher, "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+    )
+    gflag = F.coalesce("gopher_flag", F.lit("drop"))
+    cflag = F.coalesce("contam", F.lit("false"))
+    return out.select(
+        "doc_id",
+        F.col("reason").alias("dedup_reason"),
+        gflag.alias("gopher_flag"),
+        cflag.alias("contaminated"),
+        F.when((gflag == "keep") & (cflag == "false"), "true")
+        .otherwise("false").alias("curated"),
+    )
+
+
+def _curate_sql() -> str:
+    """Compose the three stage oracles: the keep-list statement's CTE
+    prefix is reused verbatim, its final SELECT becomes the `keep`
+    CTE, and gopher/contam nest as additional CTEs."""
+    body = DD_KEEP_LIST_SQL.strip()
+    idx = body.rindex("SELECT d.doc_id")
+    ctes, final = body[:idx].rstrip().rstrip(","), body[idx:]
+    return f"""{ctes},
+keep AS ({final}),
+gopher AS ({TX_GOPHER_SQL}),
+contam AS ({TX_DECONTAM_SQL})
+SELECT k.doc_id, k.reason AS dedup_reason,
+       coalesce(g.gopher_flag, 'drop') AS gopher_flag,
+       CASE WHEN c.doc_id IS NOT NULL THEN 'true' ELSE 'false' END
+         AS contaminated,
+       CASE WHEN coalesce(g.gopher_flag, 'drop') = 'keep'
+             AND c.doc_id IS NULL THEN 'true' ELSE 'false' END
+         AS curated
+FROM keep k
+LEFT JOIN gopher g ON g.doc_id = k.doc_id
+LEFT JOIN contam c ON c.doc_id = k.doc_id
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "tx_decontam": (tx_decontam, TX_DECONTAM_SQL),
     "dd_common_segments": (dd_common_segments, DD_SEGMENTS_SQL),
+    "tx_curate": (tx_curate, _curate_sql()),
     "tx_gopher_quality": (tx_gopher_quality, TX_GOPHER_SQL),
     "tx_trigram_ppl": (tx_trigram_ppl, TX_TRIGRAM_PPL_SQL),
     "tx_mix_rebalance": (tx_mix_rebalance, _mix_sql()),
