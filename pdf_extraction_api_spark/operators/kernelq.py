@@ -163,9 +163,55 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def ex5_domain_rollup(spark, sf):
+    """Per-domain accounting over kernel output — the Common-Crawl
+    bookkeeping shape (per-domain doc caps / quality priors key on the
+    registered domain): synthesize a realistic URL per page
+    (https://<source>.example/<doc_id>), run the kernel, parse the
+    host back OUT of the url column with parse_url, and roll up docs +
+    extracted volume per domain. Plan: scan → kernel (mapInPandas) →
+    one hash agg on the parsed host — the parse is a JVM scalar
+    projection, no join, no second shuffle."""
+    d = T(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<body><nav><a href="/">Home</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><table border="1"><tr><th>metric</th><th>value</th>'
+              "</tr><tr><td>chars</td><td>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr><tr><td>lang</td><td>"),
+        F.col("lang"),
+        F.lit("</td></tr></table></body>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    r = run_extraction(pages, with_lineage=False)
+    return (
+        r.select(
+            F.parse_url("url", F.lit("HOST")).alias("domain"),
+            F.length(F.decode("extracted_text", "utf-8")).alias("chars"),
+        )
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("chars").alias("extracted_chars"))
+    )
+
+
+EX5_SQL = f"""
+SELECT source || '.example' AS domain,
+       count(*) AS n_docs,
+       CAST(sum(length({_NORM})) AS BIGINT) AS extracted_chars
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "ex1_kernel_text": (ex1_kernel_text, EX1_SQL),
     "ex2_kernel_tables": (ex2_kernel_tables, EX2_SQL),
     "ex3_kernel_spans": (ex3_kernel_spans, EX3_SQL),
     "ex4_flagship_rollup": (flagship, FLAGSHIP_SQL),
+    "ex5_domain_rollup": (ex5_domain_rollup, EX5_SQL),
 }

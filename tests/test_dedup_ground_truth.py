@@ -130,3 +130,36 @@ def test_common_segments_ground_truth(spark, tmp_path):
     got = dd_common_segments(spark, str(tmp_path)).collect()
     assert len(got) == 1
     assert got[0].n_docs == 2 and got[0].first_doc == 10
+
+
+def test_curate_ground_truth(spark, tmp_path):
+    """Every curation verdict path: doc 20 is clean (curated), doc 21
+    is pure repetition (Gopher dup-trigram drop), doc 22 carries a
+    13-gram from benchmark doc 0 (contamination drop), and the
+    benchmark doc itself is an ordinary unique survivor. Doc 22 and
+    the benchmark doc are both large with only the 13-token run shared
+    (shingle Jaccard ~0.03), so the dedup stage must NOT fold doc 22
+    into doc 0's near-dup component — contamination is a different
+    axis than near-duplication and the fixture keeps them apart."""
+    from pdf_extraction_api_spark.operators.textops import tx_curate
+
+    bench = " ".join(f"b{i}" for i in range(200))
+    planted = " ".join(f"b{i}" for i in range(50, 63))
+    pad_l = " ".join(f"u{i}" for i in range(100))
+    pad_r = " ".join(f"v{i}" for i in range(100))
+    rows = [
+        (0, bench, 0, "s"),
+        (20, " ".join(f"k{i}" for i in range(30)), 0, "s"),
+        (21, " ".join(["spam"] * 30), 0, "s"),
+        (22, f"{pad_l} {planted} {pad_r}", 0, "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.dedup_reason, r.gopher_flag, r.contaminated,
+                      r.curated)
+           for r in tx_curate(spark, str(tmp_path)).collect()}
+    assert got[20] == ("unique", "keep", "false", "true")
+    assert got[21][1] == "drop" and got[21][3] == "false"
+    assert got[22][2] == "true" and got[22][3] == "false"
+    assert got[0][2] == "false" and got[0][3] == "true"
