@@ -19,8 +19,15 @@ from ..plans.extract import run_extraction
 from .relational import T
 
 
-def pages_from_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """documents → pages(url, html BINARY) with a fixed HTML shell."""
+def pages_from_documents(spark: SparkSession, sf: str,
+                         url=None) -> DataFrame:
+    """documents → pages(url, html BINARY) with a fixed HTML shell.
+
+    The shell is load-bearing for every EX*_SQL oracle (they
+    reconstruct kernel output assuming exactly this nav + paragraph +
+    2-column-table markup), so it lives here ONCE; callers that need a
+    different url shape pass a Column via `url` (default: the doc_id
+    as a string)."""
     d = T(spark, sf, "documents")
     html = F.concat(
         F.lit('<body><nav><a href="/">Home</a></nav><p>'),
@@ -32,8 +39,10 @@ def pages_from_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang"),
         F.lit("</td></tr></table></body>"),
     )
+    if url is None:
+        url = F.col("doc_id").cast("string")
     return d.select(
-        F.col("doc_id").cast("string").alias("url"),
+        url.alias("url"),
         F.encode(html, "utf-8").alias("html"),
         "lang",
     )
@@ -172,22 +181,10 @@ def ex5_domain_rollup(spark, sf):
     extracted volume per domain. Plan: scan → kernel (mapInPandas) →
     one hash agg on the parsed host — the parse is a JVM scalar
     projection, no join, no second shuffle."""
-    d = T(spark, sf, "documents")
-    html = F.concat(
-        F.lit('<body><nav><a href="/">Home</a></nav><p>'),
-        F.col("text"),
-        F.lit('</p><table border="1"><tr><th>metric</th><th>value</th>'
-              "</tr><tr><td>chars</td><td>"),
-        F.col("n_chars").cast("string"),
-        F.lit("</td></tr><tr><td>lang</td><td>"),
-        F.col("lang"),
-        F.lit("</td></tr></table></body>"),
-    )
-    pages = d.select(
-        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.encode(html, "utf-8").alias("html"),
-    )
+    pages = pages_from_documents(
+        spark, sf,
+        url=F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example/"), F.col("doc_id").cast("string")))
     r = run_extraction(pages, with_lineage=False)
     return (
         r.select(

@@ -336,8 +336,11 @@ def dd_components(spark, sf):
         .otherwise("false").alias("is_keeper"))
 
 
-DD_COMPONENTS_SQL = f"""
-WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+# Shared oracle building blocks: the LSH-candidate transitive-closure
+# CTE chain and the component labeling over it. DD_COMPONENTS_SQL,
+# DD_KEEP_LIST_SQL and _curate_sql() all compose these — one
+# definition, no positional string surgery.
+_REACH_CTES_SQL = f"""shingles AS ({_SHINGLES_SQL}),
 bands AS (SELECT unnest(range({N_BANDS})) AS band),
 sigs AS ({_CAPPED_SIGS_SQL}),
 e AS (
@@ -348,11 +351,16 @@ reach(node, root) AS (
   SELECT n, n FROM (SELECT a AS n FROM e UNION SELECT b FROM e) t(n)
   UNION
   SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
-  FROM reach r JOIN e ON r.node IN (e.a, e.b))
-SELECT node AS doc_id, min(root) AS component,
+  FROM reach r JOIN e ON r.node IN (e.a, e.b))"""
+
+_COMP_SELECT_SQL = """SELECT node AS doc_id, min(root) AS component,
        CASE WHEN min(root) = node THEN 'true' ELSE 'false' END
          AS is_keeper
-FROM reach GROUP BY node
+FROM reach GROUP BY node"""
+
+DD_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_REACH_CTES_SQL}
+{_COMP_SELECT_SQL}
 """
 
 
@@ -391,35 +399,24 @@ def dd_keep_list(spark, sf):
     )
 
 
-DD_KEEP_LIST_SQL = f"""
-WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
-bands AS (SELECT unnest(range({N_BANDS})) AS band),
-sigs AS ({_CAPPED_SIGS_SQL}),
-e AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM sigs a JOIN sigs b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-reach(node, root) AS (
-  SELECT n, n FROM (SELECT a AS n FROM e UNION SELECT b FROM e) t(n)
-  UNION
-  SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
-  FROM reach r JOIN e ON r.node IN (e.a, e.b)),
-comp AS (
-  SELECT node AS doc_id, min(root) AS component,
-         CASE WHEN min(root) = node THEN 'true' ELSE 'false' END
-           AS is_keeper
-  FROM reach GROUP BY node),
+_KEEP_CTES_SQL = f"""{_REACH_CTES_SQL},
+comp AS ({_COMP_SELECT_SQL}),
 ex AS (SELECT md5(text) AS h, min(doc_id) AS keeper_id,
               count(*) AS n_copies
-       FROM documents GROUP BY md5(text))
-SELECT d.doc_id,
+       FROM documents GROUP BY md5(text))"""
+
+_KEEP_SELECT_SQL = """SELECT d.doc_id,
        CASE WHEN c.doc_id IS NOT NULL THEN 'near_keeper'
             WHEN ex.n_copies > 1 THEN 'exact_keeper'
             ELSE 'unique' END AS reason
 FROM documents d
 JOIN ex ON md5(d.text) = ex.h AND d.doc_id = ex.keeper_id
 LEFT JOIN comp c ON c.doc_id = d.doc_id
-WHERE c.doc_id IS NULL OR c.is_keeper = 'true'
+WHERE c.doc_id IS NULL OR c.is_keeper = 'true'"""
+
+DD_KEEP_LIST_SQL = f"""
+WITH RECURSIVE {_KEEP_CTES_SQL}
+{_KEEP_SELECT_SQL}
 """
 
 
@@ -1257,14 +1254,12 @@ def tx_curate(spark, sf):
 
 
 def _curate_sql() -> str:
-    """Compose the three stage oracles: the keep-list statement's CTE
-    prefix is reused verbatim, its final SELECT becomes the `keep`
-    CTE, and gopher/contam nest as additional CTEs."""
-    body = DD_KEEP_LIST_SQL.strip()
-    idx = body.rindex("SELECT d.doc_id")
-    ctes, final = body[:idx].rstrip().rstrip(","), body[idx:]
-    return f"""{ctes},
-keep AS ({final}),
+    """Compose the three stage oracles from the shared CTE constants:
+    the keep-list CTE chain, its final SELECT as the `keep` CTE, and
+    gopher/contam as additional CTEs."""
+    return f"""
+WITH RECURSIVE {_KEEP_CTES_SQL},
+keep AS ({_KEEP_SELECT_SQL}),
 gopher AS ({TX_GOPHER_SQL}),
 contam AS ({TX_DECONTAM_SQL})
 SELECT k.doc_id, k.reason AS dedup_reason,
