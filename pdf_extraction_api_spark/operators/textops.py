@@ -23,6 +23,8 @@ no Python in the hot path) with DuckDB oracles:
 - cross-doc common-span report (disjoint windows) → dd_common_segments
 - end-to-end curation verdict (dedup ∧ gopher ∧
   not-contaminated, auditable reasons per doc)    → tx_curate
+- incremental dedup: new batch vs history
+  (broadcast-new EXISTS probes, no pair blowup)   → dd_incremental
 
 Portability notes: the hash primitive is md5 (identical in Spark and
 DuckDB — Spark's xxhash64/hash are JVM-specific so they never appear in
@@ -1275,11 +1277,93 @@ LEFT JOIN contam c ON c.doc_id = k.doc_id
 """
 
 
+NEW_BATCH_MOD = 5  # deterministic "new crawl batch": doc_id % 5 == 0
+
+
+def dd_incremental(spark, sf):
+    """Incremental dedup — the shape every RECURRING crawl actually
+    runs: dedup a NEW batch against the historical corpus (not
+    all-pairs over everything). Verdict per new doc: exact_dup (md5
+    seen before), near_dup_candidate (shares an LSH band signature
+    with history), or new_unique. The batch here is the deterministic
+    slice doc_id % 5 == 0; history is the rest.
+
+    Scale shape: the new batch is small next to history, so BOTH
+    probes BROADCAST the new side and stream the historical table
+    through a broadcast hash join — history is never shuffled, and
+    only matching rows reach the distinct/rollup. Semi-join semantics
+    (EXISTS, not pair expansion) mean a viral boilerplate signature
+    cannot square — no bucket cap needed. In production the historical
+    band signatures are a persisted catalog table (the SnapshotCatalog
+    append/compact seam) so each batch computes signatures only for
+    its own docs; here both sides derive from `documents` because
+    that is the only input table."""
+    d = T(spark, sf, "documents")
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    new_h = hashed.filter(is_new)
+    hist_h = hashed.filter(~is_new)
+    exact = (
+        hist_h.select("h").join(F.broadcast(new_h), "h")
+        .select("doc_id").distinct()
+        .withColumn("exact", F.lit("true"))
+    )
+    sigs = _band_keys(_shingles(spark, sf))
+    new_s = sigs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    hist_s = sigs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    near = (
+        hist_s.select("key").join(F.broadcast(new_s), "key")
+        .select("doc_id").distinct()
+        .withColumn("near", F.lit("true"))
+    )
+    return (
+        new_h.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact").isNotNull(), "exact_dup")
+            .when(F.col("near").isNotNull(), "near_dup_candidate")
+            .otherwise("new_unique").alias("verdict"),
+        )
+    )
+
+
+DD_INCREMENTAL_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+bands AS (SELECT unnest(range({N_BANDS})) AS band),
+sigs AS (
+  SELECT doc_id, band,
+         min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM shingles, bands GROUP BY doc_id, band),
+new AS (SELECT doc_id, md5(text) AS h FROM documents
+        WHERE doc_id % {NEW_BATCH_MOD} = 0),
+hist AS (SELECT md5(text) AS h FROM documents
+         WHERE doc_id % {NEW_BATCH_MOD} <> 0),
+exact_hit AS (
+  SELECT DISTINCT n.doc_id FROM new n JOIN hist h ON h.h = n.h),
+near_hit AS (
+  SELECT DISTINCT ns.doc_id
+  FROM sigs ns JOIN sigs hs
+    ON ns.band = hs.band AND ns.sig = hs.sig
+  WHERE ns.doc_id % {NEW_BATCH_MOD} = 0
+    AND hs.doc_id % {NEW_BATCH_MOD} <> 0)
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nh.doc_id IS NOT NULL THEN 'near_dup_candidate'
+            ELSE 'new_unique' END AS verdict
+FROM new n
+LEFT JOIN exact_hit e ON e.doc_id = n.doc_id
+LEFT JOIN near_hit nh ON nh.doc_id = n.doc_id
+"""
+
+
 QUERIES = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "tx_decontam": (tx_decontam, TX_DECONTAM_SQL),
     "dd_common_segments": (dd_common_segments, DD_SEGMENTS_SQL),
     "tx_curate": (tx_curate, _curate_sql()),
+    "dd_incremental": (dd_incremental, DD_INCREMENTAL_SQL),
     "tx_gopher_quality": (tx_gopher_quality, TX_GOPHER_SQL),
     "tx_trigram_ppl": (tx_trigram_ppl, TX_TRIGRAM_PPL_SQL),
     "tx_mix_rebalance": (tx_mix_rebalance, _mix_sql()),

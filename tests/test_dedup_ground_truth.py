@@ -163,3 +163,31 @@ def test_curate_ground_truth(spark, tmp_path):
     assert got[21][1] == "drop" and got[21][3] == "false"
     assert got[22][2] == "true" and got[22][3] == "false"
     assert got[0][2] == "false" and got[0][3] == "true"
+
+
+def test_incremental_ground_truth(spark, tmp_path):
+    """New batch (doc_id % 5 == 0) vs history: doc 10 is byte-identical
+    to history doc 3 (exact_dup), doc 5 near-dups history doc 7 via a
+    shared 25-token prefix (near_dup_candidate), doc 15 is fresh text
+    (new_unique). History-only docs never appear in the output — the
+    near-dup pair WITHIN history (docs 8 vs 9) must not leak a row."""
+    from pdf_extraction_api_spark.operators.textops import dd_incremental
+
+    base = " ".join(f"p{i}" for i in range(25))
+    dup_text = " ".join(f"e{i}" for i in range(30))
+    rows = [
+        (3, dup_text, 0, "s"),                                # history
+        (7, f"{base} hist_tail", 0, "s"),                     # history
+        (8, " ".join(f"h{i}" for i in range(25)) + " t8", 0, "s"),
+        (9, " ".join(f"h{i}" for i in range(25)) + " t9", 0, "s"),
+        (10, dup_text, 0, "s"),                               # new batch
+        (5, f"{base} new_tail", 0, "s"),                      # new batch
+        (15, " ".join(f"z{i}" for i in range(30)), 0, "s"),   # new batch
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.verdict
+           for r in dd_incremental(spark, str(tmp_path)).collect()}
+    assert got == {10: "exact_dup", 5: "near_dup_candidate",
+                   15: "new_unique"}
