@@ -119,3 +119,41 @@ def test_split_whitespace_equals_regex_ws():
     bad = [cp for cp in range(sys.maxunicode + 1)
            if bool(ws.match(chr(cp))) != (chr(cp).split() == [])]
     assert bad == [], [hex(b) for b in bad[:10]]
+
+
+def test_duplicate_bodies_memoized_with_correct_urls():
+    """Exact-duplicate html under different urls: the per-worker memo
+    must reuse the parsed body (same object identity for the nested
+    results) while every output row keeps ITS OWN url."""
+    import pandas as pd
+
+    from pdf_extraction_api_spark.kernel import batch as B
+
+    B._RESULT_MEMO.clear()
+    html = (b"<body><p>Shared body long enough to be content.</p>"
+            b'<table border="1"><tr><th>a</th><th>b</th></tr>'
+            b"<tr><td>1</td><td>2</td></tr></table></body>")
+    pdf = pd.DataFrame({"url": ["u1", "u2", "u3"],
+                        "html": [html, html, html]})
+    out = pd.concat(list(B.extract_batches(iter([pdf]))))
+    assert list(out["url"]) == ["u1", "u2", "u3"]
+    assert len(B._RESULT_MEMO) == 1  # one body parsed once
+    t0, t1, t2 = out["tables"]
+    assert t0 is t1 is t2  # memo hit: shared read-only reference
+    ref = extract_one("u2", html)
+    got = out.iloc[1]
+    assert bytes(got["extracted_text"]) == ref["extracted_text"]
+    assert got["n_tables"] == ref["n_tables"]
+    assert got["spans"] == ref["spans"]
+
+
+def test_memo_skips_mega_docs():
+    import pandas as pd
+
+    from pdf_extraction_api_spark.kernel import batch as B
+
+    B._RESULT_MEMO.clear()
+    mega = b"<p>" + b"word " * (B._RESULT_MEMO_MAX_DOC // 5 + 10) + b"</p>"
+    pdf = pd.DataFrame({"url": ["m"], "html": [mega]})
+    pd.concat(list(B.extract_batches(iter([pdf]))))
+    assert len(B._RESULT_MEMO) == 0
