@@ -205,8 +205,33 @@ FROM documents GROUP BY source
 """
 
 
+def ex6_sql_surface(spark, sf):
+    """The kernel through the PURE-SQL surface: register_extract_udf +
+    spark.sql over a temp view — proves a SQL-only user gets the same
+    extraction (same kernel, same Arrow batching) as the plan-level
+    run_extraction path. Output mirrors ex1 plus the scalar counters."""
+    pages_from_documents(spark, sf).createOrReplaceTempView("_ex6_pages")
+    from ..plans.extract import register_extract_udf
+
+    register_extract_udf(spark)
+    return spark.sql("""
+        SELECT url,
+               CAST(r.extracted_text AS STRING) AS extracted,
+               r.n_pages, r.n_tables, r.n_content_spans
+        FROM (SELECT url, extract_doc(html) AS r FROM _ex6_pages)
+    """)
+
+
+EX6_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS url, {_NORM} AS extracted,
+       1 AS n_pages, 1 AS n_tables, 1 AS n_content_spans
+FROM documents
+"""
+
+
 QUERIES = {
     "ex1_kernel_text": (ex1_kernel_text, EX1_SQL),
+    "ex6_sql_surface": (ex6_sql_surface, EX6_SQL),
     "ex2_kernel_tables": (ex2_kernel_tables, EX2_SQL),
     "ex3_kernel_spans": (ex3_kernel_spans, EX3_SQL),
     "ex4_flagship_rollup": (flagship, FLAGSHIP_SQL),

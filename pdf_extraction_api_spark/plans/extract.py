@@ -142,6 +142,54 @@ def run_extraction(
     return out
 
 
+EXTRACT_UDF_SCHEMA = ("n_pages INT, extracted_text BINARY, "
+                      "n_tables INT, n_content_spans INT, error STRING")
+
+
+def register_extract_udf(spark: SparkSession, name: str = "extract_doc"):
+    """Register the extraction kernel as a SQL-callable pandas UDF so
+    pure-SQL users can run it:  SELECT url, extract_doc(html).* FROM
+    pages.  Returns the scalar summary struct (pages, extracted bytes,
+    table/span counts, error) — Arrow-batched like the mapInPandas
+    path, same kernel, same memo; full nested results (tables/spans)
+    stay on run_extraction, which is the plan-level surface.
+
+    The UDF is html-only (url is a pass-through key the caller already
+    has), so it composes with any FROM clause — joins, filters and
+    column pruning all stay Catalyst-visible around it."""
+    import pandas as pd
+
+    from ..kernel.batch import extract_one
+
+    def _extract(html):
+        rows = []
+        for h in html.values:
+            try:
+                r = extract_one("", h)
+                rows.append({
+                    "n_pages": r["n_pages"],
+                    "extracted_text": r["extracted_text"],
+                    "n_tables": r["n_tables"],
+                    "n_content_spans": r["n_content_spans"],
+                    "error": None,
+                })
+            except Exception as exc:
+                rows.append({
+                    "n_pages": 0, "extracted_text": b"", "n_tables": 0,
+                    "n_content_spans": 0,
+                    "error": f"{type(exc).__name__}: {exc}",
+                })
+        return pd.DataFrame(rows)
+
+    # `from __future__ import annotations` stringifies inline hints
+    # module-wide and pandas_udf can't resolve 'pd.Series' from module
+    # globals (pandas is function-local here) — attach real objects.
+    _extract.__annotations__ = {"html": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(_extract, EXTRACT_UDF_SCHEMA)
+    spark.udf.register(name, udf)
+    return udf
+
+
 def tables_view(results: DataFrame) -> DataFrame:
     """Explode nested tables to a flat relational view (W1/D1 already
     applied in-kernel — zero extra shuffles, SURVEY.md §3.1)."""

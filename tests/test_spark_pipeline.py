@@ -325,3 +325,31 @@ def test_tables_view_and_stats(spark):
     assert stats["total_tables"] == 349
     assert set(stats["by_method"]) <= {"lattice", "stream"}
     assert sum(stats["quality_distribution"].values()) == 349
+
+
+def test_sql_udf_surface_composes(spark):
+    """register_extract_udf: a pure-SQL user filters, projects and
+    aggregates AROUND the kernel UDF; results match the plan-level
+    extract path on the same rows."""
+    import pandas as pd
+
+    from pdf_extraction_api_spark.kernel.batch import extract_one
+    from pdf_extraction_api_spark.plans.extract import register_extract_udf
+
+    register_extract_udf(spark)
+    rows = [("u1", b"<body><p>Content paragraph one long enough.</p></body>"),
+            ("u2", b'<body><table border="1"><tr><th>a</th><th>b</th></tr>'
+                   b"<tr><td>1</td><td>2</td></tr></table></body>"),
+            ("u3", b"<body><nav><a href='/'>x</a></nav></body>")]
+    spark.createDataFrame(rows, "url STRING, html BINARY") \
+        .createOrReplaceTempView("pages_sql_t")
+    got = {r.url: (r.n_tables, bytes(r.extracted_text))
+           for r in spark.sql("""
+               SELECT url, r.n_tables, r.extracted_text
+               FROM (SELECT url, extract_doc(html) AS r FROM pages_sql_t)
+               WHERE r.error IS NULL AND url <> 'u3'
+           """).collect()}
+    assert set(got) == {"u1", "u2"}
+    for url, html in rows[:2]:
+        ref = extract_one(url, html)
+        assert got[url] == (ref["n_tables"], ref["extracted_text"])
