@@ -1299,20 +1299,48 @@ def dd_incremental(spark, sf):
     its own docs; here both sides derive from `documents` because
     that is the only input table."""
     d = T(spark, sf, "documents")
-    hashed = d.select("doc_id", F.md5("text").alias("h"))
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
-    new_h = hashed.filter(is_new)
-    hist_h = hashed.filter(~is_new)
+    hist_hashes = d.filter(~is_new).select(F.md5("text").alias("h"))
+    hist_sigs = _band_keys(_shingles(spark, sf)).filter(
+        F.col("doc_id") % NEW_BATCH_MOD != 0)
+    return incremental_verdicts(d.filter(is_new), hist_hashes, hist_sigs)
+
+
+def incremental_verdicts(new_docs: DataFrame,
+                         hist_hashes: DataFrame,
+                         hist_sigs: DataFrame) -> DataFrame:
+    """The production form of dd_incremental: history arrives as two
+    PERSISTED relations — (h) md5 hashes and (key) band signatures,
+    e.g. SnapshotCatalog tables appended per crawl batch — so each run
+    computes hashes/signatures ONLY for its own new docs and probes
+    the catalog. Same verdict semantics and plan shape as
+    dd_incremental (new side broadcast, history streamed, EXISTS
+    probes); dd_incremental is this function applied to the mod-5
+    split of `documents`, recomputing history because the driver
+    contract has a single input table. Integration-tested against a
+    real SnapshotCatalog round-trip in tests/test_catalog_model.py."""
+    new_h = new_docs.select("doc_id", F.md5("text").alias("h"))
     exact = (
-        hist_h.select("h").join(F.broadcast(new_h), "h")
+        hist_hashes.select("h").join(F.broadcast(new_h), "h")
         .select("doc_id").distinct()
         .withColumn("exact", F.lit("true"))
     )
-    sigs = _band_keys(_shingles(spark, sf))
-    new_s = sigs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
-    hist_s = sigs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    toked = new_docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= SHINGLE)
+    toks = F.col("toks")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3)),
+    )
+    new_sh = toked.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    new_s = _band_keys(new_sh)
     near = (
-        hist_s.select("key").join(F.broadcast(new_s), "key")
+        hist_sigs.select("key").join(F.broadcast(new_s), "key")
         .select("doc_id").distinct()
         .withColumn("near", F.lit("true"))
     )

@@ -237,3 +237,54 @@ def test_commit_lock_stale_break_and_contention(spark, tmp_path):
         t.join()
     assert not errors
     assert sorted(results) == list(range(2, 10))  # unique, gapless
+
+
+def test_incremental_dedup_probes_persisted_catalog(spark, tmp_path):
+    """The dd_incremental production seam, end-to-end: historical md5
+    hashes and LSH band signatures are APPENDED to a SnapshotCatalog
+    (as a recurring crawl would per batch), read back, and probed by
+    incremental_verdicts for a new batch — verdicts must equal the
+    single-table dd_incremental over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_api_spark.operators.textops import (
+        NEW_BATCH_MOD,
+        _band_keys,
+        _shingles,
+        dd_incremental,
+        incremental_verdicts,
+    )
+    from pdf_extraction_api_spark.sources.catalog import SnapshotCatalog
+
+    base = " ".join(f"p{i}" for i in range(25))
+    dup = " ".join(f"e{i}" for i in range(30))
+    rows = [
+        (3, dup, 0, "s"), (7, f"{base} hist_tail", 0, "s"),
+        (8, " ".join(f"h{i}" for i in range(30)), 0, "s"),
+        (10, dup, 0, "s"), (5, f"{base} new_tail", 0, "s"),
+        (15, " ".join(f"z{i}" for i in range(30)), 0, "s"),
+    ]
+    sf = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    cat.append(d.filter(~is_new).select(F.md5("text").alias("h")),
+               "dedup_hashes", "batch0")
+    cat.append(
+        _band_keys(_shingles(spark, sf))
+        .filter(F.col("doc_id") % NEW_BATCH_MOD != 0),
+        "dedup_sigs", "batch0")
+
+    got = {r.doc_id: r.verdict for r in incremental_verdicts(
+        d.filter(is_new),
+        cat.read(spark, "dedup_hashes"),
+        cat.read(spark, "dedup_sigs"),
+    ).collect()}
+    ref = {r.doc_id: r.verdict for r in dd_incremental(spark, sf).collect()}
+    assert got == ref
+    assert got == {10: "exact_dup", 5: "near_dup_candidate",
+                   15: "new_unique"}
