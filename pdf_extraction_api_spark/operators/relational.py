@@ -995,9 +995,47 @@ GROUP BY n_name
 """
 
 
+def ev_moving_stats(spark, sf):
+    """Frame-spec window aggregates over the event stream — the
+    sliding/cumulative shapes (§2.5) beyond row_number/lag: 5-row
+    moving average, running total, and delta vs the previous event,
+    per user in (ts, event_id) order. One Window sort per user
+    partition serves all three frames (Spark collapses same-spec
+    windows into a single WindowExec); the partition key is user_id so
+    the shuffle is the natural per-user co-location any event pipeline
+    already has."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, Window.currentRow)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w5), 6).alias("mov_avg5"),
+        F.round(F.sum("value").over(wcum), 6).alias("cum_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6)
+        .alias("delta_prev"),
+    )
+
+
+EV_MOVING_SQL = """
+SELECT event_id, user_id,
+       CAST(round(avg(value) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+         AS mov_avg5,
+       CAST(round(sum(value) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE) AS cum_value,
+       CAST(round(value - lag(value) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id), 6) AS DOUBLE) AS delta_prev
+FROM events
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
+    "ev_moving_stats": (ev_moving_stats, EV_MOVING_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),
     "a13_rollup": (a13_rollup, A13_SQL),
