@@ -28,6 +28,10 @@ byte-parity evidence beyond the clean fixture families:
   mixed with Latin digits
 - very-long single-line minified documents (one mega-<p>, no
   newlines — scanner buffer + block-cap stress)
+- <noscript> fallbacks (incl. unterminated), IE conditional comments
+  (downlevel-hidden AND -revealed, incl. never-closed), srcset
+  attribute soup (commas/newlines inside one attribute value),
+  numeric-entity-encoded angle brackets that must stay TEXT
 
 Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
 byte-equality) — pure Python, no Spark session needed.
@@ -213,6 +217,61 @@ def _rtl_block(rng: random.Random) -> str:
     return f'<{tag} dir="rtl">{body}</{tag}>'
 
 
+def _noscript_block(rng: random.Random) -> str:
+    """<noscript> fallbacks — a rawtext-ish container crawls see
+    constantly; inner markup must be handled per each kernel's own
+    (shared) tag rules, including unterminated variants."""
+    inner = (f"<p>{_prose(rng, rng.randint(4, 15))}</p>"
+             if rng.random() < 0.6 else
+             f'<img src="/px.gif" alt="{rng.choice(_WORDS)}">')
+    if rng.random() < 0.2:
+        return f"<noscript>{inner}"  # unterminated
+    return f"<noscript>{inner}</noscript>"
+
+
+def _conditional_comment(rng: random.Random) -> str:
+    """IE conditional comments, downlevel-hidden and -revealed forms,
+    sometimes wrapping a table (the parser must treat the hidden form
+    as one comment, not parse the inner markup)."""
+    inner = (f"<p>{_prose(rng, 8)}</p>" if rng.random() < 0.5
+             else "<table><tr><td>ie</td><td>9</td></tr></table>")
+    variant = rng.randrange(3)
+    if variant == 0:  # downlevel-hidden: one comment
+        return f"<!--[if IE 9]>{inner}<![endif]-->"
+    if variant == 1:  # downlevel-revealed: marked sections + content
+        return f"<![if !IE]>{inner}<![endif]>"
+    return f"<!--[if lt IE 7]>{inner}"  # never closed
+
+
+def _srcset_soup(rng: random.Random) -> str:
+    """Responsive-image attribute soup: srcset with commas, spaces,
+    density descriptors and newlines inside ONE attribute value —
+    attribute parsing must not split on the commas."""
+    cands = ", ".join(
+        f"/img/{w}-{rng.choice([320, 640, 1280])}.jpg "
+        f"{rng.choice(['1x', '2x', f'{rng.randint(300, 1400)}w'])}"
+        for w in rng.sample(_WORDS, rng.randint(2, 4)))
+    sep = "\n  " if rng.random() < 0.3 else " "
+    return (f'<img{sep}src="/img/base.jpg"{sep}srcset="{cands}"'
+            f'{sep}sizes="(max-width: 600px) 480px, 800px" '
+            f'alt="{rng.choice(_WORDS)}">'
+            f"<p>{_prose(rng, rng.randint(5, 20))}</p>")
+
+
+def _encoded_tag_text(rng: random.Random) -> str:
+    """Numeric-entity-encoded angle brackets: &#60;p&#62; inside text
+    must stay TEXT after unescaping, never become markup (the classic
+    double-parse bug)."""
+    w = rng.choice(_WORDS)
+    fake = rng.choice([
+        "&#60;script&#62;alert(1)&#60;/script&#62;",
+        "&#x3C;table border=1&#x3E;",
+        "&lt;p class=x&gt;not a tag&lt;/p&gt;",
+        "&#60;!-- not a comment --&#62;",
+    ])
+    return f"<p>{w} {fake} {_prose(rng, rng.randint(3, 12))}</p>"
+
+
 def _megaline(rng: random.Random) -> str:
     """One minified mega-paragraph: thousands of words, zero newlines.
     Stresses scanner buffering and any per-block windowing cap."""
@@ -227,7 +286,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(13)
+        kind = rng.randrange(17)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -255,6 +314,14 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(
                 f"<p>{w}{rng.choice(_ZERO_WIDTH)}{rng.choice(_WORDS)} "
                 f"{_prose(rng, 10)}</p>")
+        elif kind == 12:
+            parts.append(_noscript_block(rng))
+        elif kind == 13:
+            parts.append(_conditional_comment(rng))
+        elif kind == 14:
+            parts.append(_srcset_soup(rng))
+        elif kind == 15:
+            parts.append(_encoded_tag_text(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
