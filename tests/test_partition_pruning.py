@@ -55,3 +55,51 @@ def test_dynamic_partition_pruning(spark, day_partitioned):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert q.count() == 2  # one row per kept day
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering (the non-partition sibling of DPP):
+    a selective dim filter on the join key side injects a bloom filter
+    into the fact scan so non-joining rows die at the scan, not at the
+    shuffle. The two size thresholds are lowered ONLY because this
+    fact table is tiny — at 100 TB the 10 GB application-side default
+    fires on its own. Results must be identical with and without the
+    filter."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    o = (spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+         .filter(F.col("o_totalprice") > 400000))
+
+    def run():
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = run()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:1500]
+        with_bloom = sorted(map(tuple, q.collect()))
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = sorted(map(tuple, run().collect()))
+        assert with_bloom == without and with_bloom
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
