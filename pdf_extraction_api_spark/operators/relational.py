@@ -1032,10 +1032,72 @@ FROM events
 """
 
 
+_EVENT_TYPES = ("click", "view", "purchase", "scroll")
+
+
+def ev_pivot(spark, sf):
+    """PIVOT — long→wide reshaping of the event stream: per-user
+    columns of counts per event type plus total value. The pivot value
+    list is EXPLICIT, which matters twice at 100 TB: no extra
+    discovery pass over the fact table, and a stable output schema
+    (a runaway cardinality can't explode the column count). One hash
+    agg; each pivot cell is a map-side-combinable conditional count."""
+    e = T(spark, sf, "events")
+    types = [t for t in _EVENT_TYPES]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .withColumnsRenamed({t: f"n_{t}" for t in types})
+    )
+
+
+EV_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'scroll') AS n_scroll
+FROM events GROUP BY user_id
+"""
+
+
+def ev_ranks(spark, sf):
+    """The ranking-window family beyond row_number: rank (gapped),
+    dense_rank, ntile(4) and percent_rank over value within each event
+    type — the per-stratum scoring shape quality pipelines use for
+    percentile cuts. All four functions share one window spec → one
+    WindowExec, one shuffle on event_type."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return e.select(
+        "event_id", "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+EV_RANKS_SQL = """
+SELECT event_id, event_type,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "ev_moving_stats": (ev_moving_stats, EV_MOVING_SQL),
+    "ev_pivot": (ev_pivot, EV_PIVOT_SQL),
+    "ev_ranks": (ev_ranks, EV_RANKS_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),
     "a13_rollup": (a13_rollup, A13_SQL),
