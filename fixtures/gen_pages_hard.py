@@ -32,6 +32,7 @@ byte-parity evidence beyond the clean fixture families:
   (downlevel-hidden AND -revealed, incl. never-closed), srcset
   attribute soup (commas/newlines inside one attribute value),
   numeric-entity-encoded angle brackets that must stay TEXT
+- <svg> islands incl. foreignObject carrying real HTML (all skipped)
 
 Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
 byte-equality) — pure Python, no Spark session needed.
@@ -272,6 +273,20 @@ def _encoded_tag_text(rng: random.Random) -> str:
     return f"<p>{w} {fake} {_prose(rng, rng.randint(3, 12))}</p>"
 
 
+def _svg_island(rng: random.Random) -> str:
+    """<svg> islands (a _SKIP container in both kernels): inner
+    shapes, a foreignObject carrying real HTML, and sometimes an
+    unterminated svg — everything inside must vanish from extracted
+    text, including the HTML-looking foreignObject content."""
+    inner = (f'<circle cx="5" cy="5" r="4"/>'
+             f"<foreignObject><p>{_prose(rng, rng.randint(3, 12))}</p>"
+             f"</foreignObject>"
+             f"<text>{rng.choice(_WORDS)}</text>")
+    close = "</svg>" if rng.random() < 0.8 else ""
+    return (f'<svg viewBox="0 0 10 10">{inner}{close}'
+            f"<p>{_prose(rng, rng.randint(4, 15))}</p>")
+
+
 def _megaline(rng: random.Random) -> str:
     """One minified mega-paragraph: thousands of words, zero newlines.
     Stresses scanner buffering and any per-block windowing cap."""
@@ -286,7 +301,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(17)
+        kind = rng.randrange(18)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -322,6 +337,8 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_srcset_soup(rng))
         elif kind == 15:
             parts.append(_encoded_tag_text(rng))
+        elif kind == 16:
+            parts.append(_svg_island(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
