@@ -1032,6 +1032,32 @@ FROM events
 """
 
 
+def p_unpivot(spark, sf):
+    """UNPIVOT — wide→long reshaping (the inverse of ev_pivot): part's
+    numeric attributes melt into (attr, val) rows via the native
+    unpivot/melt API, which Catalyst expands to a zero-shuffle
+    Generate — the long form feeds generic per-attribute aggregation
+    without one query per column."""
+    p = T(spark, sf, "part")
+    return (
+        p.select("p_partkey",
+                 F.col("p_size").cast("double").alias("p_size"),
+                 F.col("p_retailprice").cast("double")
+                 .alias("p_retailprice"))
+        .unpivot("p_partkey", ["p_size", "p_retailprice"],
+                 "attr", "val")
+    )
+
+
+P_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+FROM part
+"""
+
+
 _EVENT_TYPES = ("click", "view", "purchase", "scroll")
 
 
@@ -1098,6 +1124,7 @@ QUERIES: dict[str, tuple] = {
     "ev_moving_stats": (ev_moving_stats, EV_MOVING_SQL),
     "ev_pivot": (ev_pivot, EV_PIVOT_SQL),
     "ev_ranks": (ev_ranks, EV_RANKS_SQL),
+    "p_unpivot": (p_unpivot, P_UNPIVOT_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),
     "a13_rollup": (a13_rollup, A13_SQL),
