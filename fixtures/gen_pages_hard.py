@@ -33,6 +33,9 @@ byte-parity evidence beyond the clean fixture families:
   attribute soup (commas/newlines inside one attribute value),
   numeric-entity-encoded angle brackets that must stay TEXT
 - <svg> islands incl. foreignObject carrying real HTML (all skipped)
+- MathML islands (unknown-tag text flow), <template> shadow content
+  (skip container, incl. unterminated), percent-encoded UTF-8 hrefs
+  and data-URI payload blobs
 
 Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
 byte-equality) — pure Python, no Spark session needed.
@@ -287,6 +290,43 @@ def _svg_island(rng: random.Random) -> str:
             f"<p>{_prose(rng, rng.randint(4, 15))}</p>")
 
 
+def _mathml_island(rng: random.Random) -> str:
+    """MathML islands: unknown-to-both-kernels tags (math/mrow/mi/mo)
+    whose TEXT content flows through under the generic unknown-tag
+    rule, mixed into real prose."""
+    expr = "".join(
+        f"<mi>{rng.choice('abcxyz')}</mi><mo>{rng.choice('+-=')}</mo>"
+        for _ in range(rng.randint(1, 4)))
+    close = "</math>" if rng.random() < 0.8 else ""
+    return (f"<p>{_prose(rng, rng.randint(3, 10))} "
+            f'<math xmlns="http://www.w3.org/1998/Math/MathML">'
+            f"<mrow>{expr}<mn>{rng.randint(0, 99)}</mn></mrow>{close} "
+            f"{_prose(rng, rng.randint(3, 10))}</p>")
+
+
+def _template_block(rng: random.Random) -> str:
+    """<template> shadow content — in browsers it is inert, but both
+    kernels treat template as a skip container; parity pins the shared
+    rule, including an unterminated variant."""
+    inner = (f"<p>{_prose(rng, rng.randint(3, 12))}</p>"
+             "<table><tr><td>t1</td><td>t2</td></tr></table>")
+    close = "</template>" if rng.random() < 0.8 else ""
+    return f"<template>{inner}{close}<p>{_prose(rng, 8)}</p>"
+
+
+def _pct_encoded_links(rng: random.Random) -> str:
+    """Percent-encoded UTF-8 and raw unicode in hrefs + data-URI
+    payload blobs — URL bytes must never leak into extracted text."""
+    links = " ".join([
+        f'<a href="/caf%C3%A9/{rng.choice(_WORDS)}%20page">'
+        f"{rng.choice(_WORDS)}</a>",
+        f'<a href="/wiki/%E4%B8%AD%E6%96%87">{rng.choice(_WORDS)}</a>',
+        f'<a href="data:image/png;base64,iVBORw0KGg'
+        f'{"A" * rng.randint(8, 64)}=">{rng.choice(_WORDS)}</a>',
+    ])
+    return f"<p>{links} {_prose(rng, rng.randint(4, 16))}</p>"
+
+
 def _megaline(rng: random.Random) -> str:
     """One minified mega-paragraph: thousands of words, zero newlines.
     Stresses scanner buffering and any per-block windowing cap."""
@@ -301,7 +341,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(18)
+        kind = rng.randrange(21)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -339,6 +379,12 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_encoded_tag_text(rng))
         elif kind == 16:
             parts.append(_svg_island(rng))
+        elif kind == 17:
+            parts.append(_mathml_island(rng))
+        elif kind == 18:
+            parts.append(_template_block(rng))
+        elif kind == 19:
+            parts.append(_pct_encoded_links(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
