@@ -174,7 +174,7 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "aj_asof_join",          # as-of join (range + argmax window)
         "ex4_flagship_rollup",   # extraction kernel + rollup
     ]
-    times = {}
+    times, reps_detail = {}, {}
     for name in names:
         df = q[name](spark, sf_dir)
 
@@ -185,25 +185,39 @@ def headline_queries(spark, sf_dir: str) -> dict[str, float]:
         # min-of-2 steady-state reps: this VM's vCPU steal swings
         # single-shot numbers up to 8x (round-1 driver bench read 4x
         # below the recorded baseline); the min is the least-interfered
-        times[name] = min(_timed(run), _timed(run))
-    return times
+        reps = [_timed(run), _timed(run)]
+        times[name] = min(reps)
+        reps_detail[name] = reps
+    return times, reps_detail
 
 
 def default_bench() -> dict:
     spark = make_session(CPUS)
     try:
+        # ceiling measured BEFORE and AFTER the query loop: host steal
+        # drifts minute-to-minute, so a single window-level number
+        # can't explain a mid-run squall. With both endpoints (plus
+        # per-query rep pairs below) a cross-round comparison is
+        # self-normalizing: a query whose two reps disagree 2x, or
+        # whose round-over-round delta tracks the ceiling delta, is
+        # host noise, not a plan regression (BENCH/NOTES.md).
+        ceiling_start = machine_cpu_ceiling(*SCALE_LEVELS)
         warm = ensure_corpus(spark, 8000)
         corpus = ensure_corpus(spark, BENCH_DOCS)
         run_extraction_job(spark, warm)  # warm JVM + python workers
         # min-of-2 reps (same rationale as headline_queries / --scaling)
-        t_extract = min(
+        extract_reps = [
             _timed(lambda: run_extraction_job(spark, corpus)),
             _timed(lambda: run_extraction_job(spark, corpus)),
-        )
+        ]
+        t_extract = min(extract_reps)
         docs_per_sec = round(BENCH_DOCS / t_extract, 1)
         queries = {"extract_corpus": t_extract}
-        queries.update(headline_queries(spark, SF_DIR))
+        head_times, reps_detail = headline_queries(spark, SF_DIR)
+        queries.update(head_times)
+        reps_detail = {"extract_corpus": extract_reps, **reps_detail}
         total = round(sum(queries.values()), 3)
+        ceiling_end = machine_cpu_ceiling(*SCALE_LEVELS)
         return {
             "metric": "headline_queries_total",
             "value": total,
@@ -214,11 +228,17 @@ def default_bench() -> dict:
             "extract_docs_per_sec": docs_per_sec,
             "cpus": CPUS,
             "reps": 2,
+            # both rep times per query: disagreement between the two
+            # reps of the SAME plan bounds the host-noise error bar
+            # for that query in this window.
+            "queries_reps": reps_detail,
             # host-noise context: pure-CPU (no Spark) scaling between
-            # the two --scaling widths, measured right now. Compare a
-            # surprising bench number against BENCH/BASELINE.md history
-            # before reading it as a regression.
-            "machine_cpu_ceiling": machine_cpu_ceiling(*SCALE_LEVELS),
+            # the two --scaling widths, measured at loop start and
+            # end. Compare a surprising bench number against
+            # BENCH/BASELINE.md history before reading it as a
+            # regression.
+            "machine_cpu_ceiling": ceiling_start,
+            "machine_cpu_ceiling_end": ceiling_end,
         }
     finally:
         spark.stop()

@@ -321,12 +321,18 @@ def dd_components(spark, sf):
     labels = (sym.select(F.col("doc_a").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
     prev_sum = None
-    for _ in range(20):  # safety cap >> any near-dup cluster diameter
+    for it in range(20):  # safety cap >> any near-dup cluster diameter
         labels = labels.localCheckpoint()  # truncate lineage, eager
-        cur = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur is None or cur == prev_sum:
-            break
-        prev_sum = cur
+        # Probe the fixpoint every OTHER iteration: labels only
+        # decrease, so an unchanged sum across two propagation steps
+        # is still a sound fixpoint witness, and the driver pays half
+        # the collect round-trips (each is a full job launch on a
+        # cluster). Worst case one extra no-op propagation.
+        if it % 2 == 0:
+            cur = labels.agg(F.sum("comp")).collect()[0][0]
+            if cur is None or cur == prev_sum:
+                break
+            prev_sum = cur
         neigh = (
             sym.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
             .select(F.col("doc_a").alias("node"), "comp"))

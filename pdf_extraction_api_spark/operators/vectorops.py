@@ -60,6 +60,15 @@ def _cosine(a: str, b: str):
 
 
 def ann_topk_brute(spark, sf):
+    """BASELINE-ONLY: exact brute-force cosine top-k, kept as the
+    recall ground truth for the IVF/LSH tests and bench. The plan is
+    deliberately O(N_QUERIES x corpus) (query side bounded, corpus
+    side streamed through a BroadcastNestedLoopJoin) — at 100 TB even
+    a bounded-query brute pass is a full-corpus scan per batch. Do
+    NOT route production top-k through this; `ann_ivf_probe` /
+    `ann_ivf_kmeans` are the scale path (broadcast centroids +
+    N_PROBE partition pruning). The plan-lint passes it only because
+    the bounded build side keeps Spark off CartesianProduct."""
     e = T(spark, sf, "embeddings")
     q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
     c = _with_norm(e, "embedding", "c")
