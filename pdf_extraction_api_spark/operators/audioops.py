@@ -44,12 +44,26 @@ if TYPE_CHECKING:
 _RATE = 8000  # Hz — small deterministic clips
 
 
+def _lcg_uniform(doc_id: int, n: int):
+    """Deterministic white noise, reproducible in pure SQL: a 31-bit
+    LCG keyed on (doc_id, sample index), mapped to [-0.4, 0.4). All
+    intermediate products fit in int64 (multiplier is 31-bit, state is
+    31-bit), so DuckDB BIGINT arithmetic reproduces the stream bit-
+    for-bit — which is what lets mm_audio_features carry a full value
+    oracle instead of a rows-only check."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    s = (1103515245 * ((doc_id * 1000003 + i) % 2147483648)
+         + 12345) % 2147483648
+    return (s / 2147483648.0 - 0.5) * 0.8
+
+
 def synth_wav(doc_id: int) -> tuple[str, bytes]:
     """Deterministic 16-bit mono WAV for doc_id: tone / chord / noise /
     silence, 0.1-0.35 s."""
     import numpy as np
 
-    rng = np.random.default_rng(doc_id * 40503 % (1 << 32))
     kind = ("tone", "chord", "noise", "silence")[doc_id % 4]
     n = int(_RATE * (0.1 + (doc_id % 6) * 0.05))
     t = np.arange(n) / _RATE
@@ -60,7 +74,7 @@ def synth_wav(doc_id: int) -> tuple[str, bytes]:
         x = (0.4 * np.sin(2 * np.pi * freq * t)
              + 0.3 * np.sin(2 * np.pi * freq * 1.5 * t))
     elif kind == "noise":
-        x = rng.normal(0, 0.25, n)
+        x = _lcg_uniform(doc_id, n)
     else:
         x = np.zeros(n)
     pcm = (x.clip(-1, 1) * 32767).astype("<i2")
@@ -123,6 +137,11 @@ _FEAT_SCHEMA = StructType([
     StructField("rms", DoubleType()),
     StructField("peak", DoubleType()),
     StructField("zcr", DoubleType()),
+])
+
+_SPECTRAL_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("audio_kind", StringType()),
     StructField("spectral_centroid_hz", DoubleType()),
     StructField("dominant_hz", DoubleType()),
 ])
@@ -151,8 +170,18 @@ def audio_payloads(spark, sf):
 
 
 def mm_audio_features(spark, sf):
-    """Decode WAV → numpy features, Arrow-batched (rows-only for the
-    driver; value properties pytest-checked vs synthesis params)."""
+    """Decode WAV → numpy time-domain features, Arrow-batched.
+
+    Fully oracled (promoted from rows-only in round 4): every
+    synthesis path is SQL-reproducible (sin via the same libm,
+    noise via the int64 LCG in `_lcg_uniform`), so the oracle
+    re-synthesizes the int16 PCM per sample with generate-series
+    arithmetic and recomputes rms/peak/zcr through a completely
+    independent code path — a quantization, header, or channel bug in
+    the WAV round-trip breaks the hash match. The FFT-derived columns
+    (centroid, dominant bin) moved to `mm_audio_spectral`: a DFT is
+    O(n^2) in set-based SQL, so keeping them here would have forced
+    the whole query to stay rows-only forever."""
     wavs = audio_payloads(spark, sf)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -166,10 +195,41 @@ def mm_audio_features(spark, sf):
                 x, rate = decode_wav(bytes(blob))
                 f = audio_features(x, rate)
                 rows.append({"doc_id": int(doc_id), "audio_kind": kind,
-                             "sample_rate": rate, **f})
+                             "sample_rate": rate,
+                             "duration_s": f["duration_s"],
+                             "rms": f["rms"], "peak": f["peak"],
+                             "zcr": f["zcr"]})
             yield pd.DataFrame(rows)
 
     return wavs.mapInPandas(run, schema=_FEAT_SCHEMA)
+
+
+def mm_audio_spectral(spark, sf):
+    """Frequency-domain features (rFFT spectral centroid + dominant
+    bin — the voiced/music/noise discriminators). Rows-only for the
+    driver: a DFT isn't expressible in set-based SQL at sane cost;
+    value properties are pytest-checked against the synthesis
+    parameters instead (dominant_hz recovers the synthesized tone
+    frequency to within one FFT bin, tests/test_audioops.py)."""
+    wavs = audio_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["audio_kind"].values,
+                    pdf["wav"].values):
+                x, rate = decode_wav(bytes(blob))
+                f = audio_features(x, rate)
+                rows.append({
+                    "doc_id": int(doc_id), "audio_kind": kind,
+                    "spectral_centroid_hz": f["spectral_centroid_hz"],
+                    "dominant_hz": f["dominant_hz"]})
+            yield pd.DataFrame(rows)
+
+    return wavs.mapInPandas(run, schema=_SPECTRAL_SCHEMA)
 
 
 _DIMS_SCHEMA = StructType([
@@ -203,6 +263,55 @@ def mm_audio_dims(spark, sf):
     return wavs.mapInPandas(run, schema=_DIMS_SCHEMA)
 
 
+# Full value oracle for mm_audio_features: re-synthesize the int16
+# PCM stream per (doc_id, sample) with the same IEEE double ops as
+# synth_wav (same parenthesization — (2*pi*freq)*(i/8000.0) — so both
+# sides round identically; sin resolves to the same host libm), then
+# recompute rms/peak/zcr set-wise. trunc() mirrors astype('<i2')'s
+# toward-zero truncation; the LCG noise branch is exact BIGINT
+# arithmetic. Float caveat: rms's summation order differs (numpy
+# pairwise vs DuckDB sequential) — a ~1e-15 relative wobble collapsed
+# by the 6-dp round on both sides.
+MM_AUDIO_FEATS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         ['tone', 'chord', 'noise', 'silence'][CAST(doc_id % 4 AS INT) + 1]
+           AS audio_kind,
+         CAST(floor({_RATE} * (0.1::DOUBLE + (doc_id % 6) * 0.05::DOUBLE))
+              AS BIGINT) AS n,
+         200.0 + (doc_id % 16) * 100.0 AS freq
+  FROM documents),
+pcm AS (
+  SELECT d.doc_id, d.audio_kind, d.n, i.i,
+         CAST(trunc(greatest(-1.0, least(1.0,
+           CASE d.audio_kind
+             WHEN 'tone' THEN
+               0.6 * sin((2 * pi() * d.freq) * (i.i / {_RATE}.0))
+             WHEN 'chord' THEN
+               0.4 * sin((2 * pi() * d.freq) * (i.i / {_RATE}.0))
+               + 0.3 * sin(((2 * pi() * d.freq) * 1.5) * (i.i / {_RATE}.0))
+             WHEN 'noise' THEN
+               (((1103515245 * ((d.doc_id * 1000003 + i.i) % 2147483648)
+                  + 12345) % 2147483648) / 2147483648.0 - 0.5) * 0.8
+             ELSE 0.0 END)) * 32767) AS BIGINT) AS p
+  FROM docs d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+lagged AS (
+  SELECT doc_id, audio_kind, n, p,
+         lag(p) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM pcm)
+SELECT doc_id, audio_kind, {_RATE} AS sample_rate,
+       round(n / {_RATE}.0, 6) AS duration_s,
+       round(sqrt(avg((p / 32767.0) * (p / 32767.0))), 6) AS rms,
+       round(max(abs(p)) / 32767.0, 6) AS peak,
+       round(CAST(SUM(CASE WHEN prev IS NOT NULL
+                            AND ((p < 0) <> (prev < 0))
+                       THEN 1 ELSE 0 END) AS DOUBLE) / (n - 1), 6)
+         AS zcr
+FROM lagged
+GROUP BY doc_id, audio_kind, n
+"""
+
+
 # mirrors synth_wav: kind = [...][id % 4], n = int(8000*(0.1+(id%6)*.05))
 # (the ::DOUBLE casts force IEEE arithmetic = Python's int(float))
 MM_AUDIO_DIMS_SQL = f"""
@@ -218,6 +327,7 @@ FROM documents
 
 
 QUERIES = {
-    "mm_audio_features": (mm_audio_features, None),
+    "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATS_SQL),
+    "mm_audio_spectral": (mm_audio_spectral, None),
     "mm_audio_dims": (mm_audio_dims, MM_AUDIO_DIMS_SQL),
 }

@@ -55,17 +55,32 @@ if TYPE_CHECKING:
 _KINDS = ("photograph", "chart", "table_image", "diagram", "screenshot")
 
 
-def _gen_image(doc_id: int):
-    """Deterministic synthetic image for doc_id: kind + uint8 array."""
+def _noise_grid(doc_id: int, h: int, w: int, mod: int):
+    """Integer white noise in [-mod//2, mod - mod//2), reproducible in
+    pure SQL (the audioops._lcg_uniform trick): a 31-bit LCG keyed on
+    (doc_id, y*w + x), all intermediates within int64 — so a DuckDB
+    oracle reconstructs the noisy image pixels EXACTLY, which is what
+    lets mm_image_resize carry a full value oracle."""
     import numpy as np
 
-    rng = np.random.default_rng(doc_id * 2654435761 % (1 << 32))
+    i = np.arange(h * w, dtype=np.int64)
+    s = (1103515245 * ((doc_id * 1000003 + i) % 2147483648)
+         + 12345) % 2147483648
+    return ((s % mod) - mod // 2).reshape(h, w)
+
+
+def _gen_image(doc_id: int):
+    """Deterministic synthetic image for doc_id: kind + uint8 array.
+    Every pixel is exact integer arithmetic on (doc_id, y, x) — no
+    float RNG — so SQL oracles can rebuild the source image."""
+    import numpy as np
+
     kind = _KINDS[doc_id % len(_KINDS)]
     h, w = 48 + (doc_id * 13) % 48, 48 + (doc_id * 29) % 80
     yy, xx = np.mgrid[0:h, 0:w]
     if kind == "photograph":  # smooth gradient + mild noise
         img = (xx * 255 // max(w - 1, 1)
-               + rng.normal(0, 8, (h, w))).clip(0, 255)
+               + _noise_grid(doc_id, h, w, 17)).clip(0, 255)
     elif kind == "chart":  # vertical bars on white
         img = np.full((h, w), 240.0)
         for b in range(4):
@@ -81,8 +96,8 @@ def _gen_image(doc_id: int):
         img[h // 4: h // 2, w // 4: 3 * w // 4] = 90
     else:  # screenshot: text-like horizontal strips + noise
         img = np.full((h, w), 250.0)
+        img += _noise_grid(doc_id, h, w, 41)
         img[:: 4, :] = 40
-        img += rng.normal(0, 20, (h, w))
         img = img.clip(0, 255)
     if doc_id % 3 == 0:  # a third are RGB
         g = img.astype(np.uint8)
@@ -306,57 +321,28 @@ _METRICS_SCHEMA = StructType([
     StructField("est_rows", IntegerType()),
     StructField("est_cols", IntegerType()),
     StructField("has_text", StringType()),
-])
-
-
-def mm_image_metrics(spark, sf):
-    """N1-N3+N5 over real PNGs: decode (stdlib codec; PIL if present)
-    → numpy metrics. Rows-only for the driver; value properties are
-    pytest-checked."""
-    imgs = image_payloads(spark, sf)
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        from ..kernel import png as pngc
-
-        for pdf in batches:
-            rows = []
-            for doc_id, kind, blob in zip(
-                    pdf["doc_id"].values, pdf["img_kind"].values,
-                    pdf["png"].values):
-                arr = pngc.decode(bytes(blob))
-                m = compute_metrics(arr)
-                er, ec = estimate_lines(arr)
-                rows.append({
-                    "doc_id": int(doc_id), "img_kind": kind,
-                    "width": m["width"], "height": m["height"],
-                    "quality_score": round(m["quality_score"], 6),
-                    "sharpness": round(m["sharpness"], 6),
-                    "contrast": round(m["contrast"], 6),
-                    "brightness": round(m["brightness"], 6),
-                    "noise": round(m["noise"], 6),
-                    "edge_density": round(m["edge_density"], 6),
-                    "est_rows": er, "est_cols": ec,
-                    "has_text": "true" if ocr_stub(arr, kind) else "false",
-                })
-            yield pd.DataFrame(rows)
-
-    return imgs.mapInPandas(run, schema=_METRICS_SCHEMA)
-
-
-_ENHANCE_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
-    StructField("img_kind", StringType()),
     StructField("orig_md5", StringType()),
     StructField("enhanced_md5", StringType()),
     StructField("changed", StringType()),
 ])
 
 
-def mm_image_enhance(spark, sf):
-    """N4: decode → type-conditional enhance → re-encode PNG; output
-    digests so the driver's hash check stays on plain strings."""
+def mm_image_metrics(spark, sf):
+    """N1-N5 over real PNGs in ONE decode pass: metrics (N1), edge
+    density (N2), line estimation (N3), type-conditional enhancement
+    digests (N4) and the OCR flag (N5). Merged with the former
+    mm_image_enhance in round 4: both analyses consume the same
+    decoded array, so two registry rows meant decoding every PNG
+    twice — one fused Arrow pass halves the Python-side codec work
+    (the dominant cost at any scale).
+
+    Rows-only for the driver: the convolution/variance float pipeline
+    (Laplacian, Gaussian blur, FIND_EDGES) isn't reconstructable in
+    SQL at tolerable cost. Value properties are pytest-checked
+    against independently-computed statistics (tests/test_imageops.py)
+    and the decode round-trip itself is hash-oracled by
+    mm_image_dims; enhancement rules are value-tested in
+    test_enhance_changes_charts_not_flat_photos."""
     imgs = image_payloads(spark, sf)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -373,16 +359,27 @@ def mm_image_enhance(spark, sf):
                     pdf["png"].values):
                 blob = bytes(blob)
                 arr = pngc.decode(blob)
+                m = compute_metrics(arr)
+                er, ec = estimate_lines(arr)
                 enh = pngc.encode(enhance(arr, kind))
                 rows.append({
                     "doc_id": int(doc_id), "img_kind": kind,
+                    "width": m["width"], "height": m["height"],
+                    "quality_score": round(m["quality_score"], 6),
+                    "sharpness": round(m["sharpness"], 6),
+                    "contrast": round(m["contrast"], 6),
+                    "brightness": round(m["brightness"], 6),
+                    "noise": round(m["noise"], 6),
+                    "edge_density": round(m["edge_density"], 6),
+                    "est_rows": er, "est_cols": ec,
+                    "has_text": "true" if ocr_stub(arr, kind) else "false",
                     "orig_md5": hashlib.md5(blob).hexdigest(),
                     "enhanced_md5": hashlib.md5(enh).hexdigest(),
                     "changed": "true" if enh != blob else "false",
                 })
             yield pd.DataFrame(rows)
 
-    return imgs.mapInPandas(run, schema=_ENHANCE_SCHEMA)
+    return imgs.mapInPandas(run, schema=_METRICS_SCHEMA)
 
 
 def resize(arr, out_h: int, out_w: int):
@@ -416,21 +413,36 @@ _RESIZE_SCHEMA = StructType([
     StructField("img_kind", StringType()),
     StructField("src_w", IntegerType()),
     StructField("src_h", IntegerType()),
-    StructField("thumb_md5", StringType()),
+    StructField("thumb_w", IntegerType()),
+    StructField("thumb_h", IntegerType()),
+    StructField("thumb_sum", LongType()),
+    StructField("thumb_mean", DoubleType()),
 ])
 
 THUMB = 32
 
 
 def mm_image_resize(spark, sf):
-    """Thumbnail normalization: decode → bilinear resize to THUMB² →
-    re-encode (the pre-embedding image-normalize step of a training
-    pipeline); digests keep the output driver-hashable."""
+    """Thumbnail normalization: decode → bilinear resize to THUMB²
+    (the pre-embedding image-normalize step of a training pipeline).
+
+    Fully oracled (promoted from rows-only in round 4): the source
+    corpus is exact integer arithmetic on (doc_id, y, x) — see
+    `_noise_grid` — so the oracle rebuilds every source pixel in SQL
+    and replays the bilinear interpolation with the SAME IEEE double
+    ops and np.linspace's exact weight formula (step = (n-1)/31
+    rounded once, then i*step; last index pinned to n-1), including
+    numpy's round-half-to-even on the final uint8 cast. The checked
+    values are the thumb's exact pixel SUM and 6-dp mean — any
+    off-by-one in corner indexing, weight order, or the codec
+    round-trip shifts the sum. (The former thumb_md5 column died with
+    the promotion: a PNG byte digest isn't SQL-reconstructable, and
+    pixel-sum equality over an exactly-reproduced pixel grid is the
+    same strength of evidence.)"""
     imgs = image_payloads(spark, sf)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
+        import numpy as np
         import pandas as pd
 
         from ..kernel import png as pngc
@@ -445,8 +457,14 @@ def mm_image_resize(spark, sf):
                 rows.append({
                     "doc_id": int(doc_id), "img_kind": kind,
                     "src_w": arr.shape[1], "src_h": arr.shape[0],
-                    "thumb_md5": hashlib.md5(
-                        pngc.encode(th)).hexdigest(),
+                    "thumb_w": th.shape[1], "thumb_h": th.shape[0],
+                    "thumb_sum": int(th.sum(dtype=np.int64)),
+                    # UNrounded on purpose: sum and count are exact
+                    # ints on both sides, so the division is
+                    # bit-identical — while a 6-dp round would hit
+                    # banker's-vs-away ties on the dyadic 1024
+                    # denominator (e.g. sum 212968 → x.9765625)
+                    "thumb_mean": float(th.mean()),
                 })
             yield pd.DataFrame(rows)
 
@@ -494,6 +512,131 @@ def mm_image_dims(spark, sf):
     return imgs.mapInPandas(run, schema=_DIMS_SCHEMA)
 
 
+def _noise_sql(mod: int) -> str:
+    """SQL mirror of _noise_grid for one pixel (columns doc_id, y, x,
+    w in scope): 31-bit LCG → % mod - mod//2, all BIGINT-exact."""
+    return (f"((1103515245 * ((doc_id * 1000003 + (y * w + x))"
+            f" % 2147483648) + 12345) % 2147483648) % {mod}"
+            f" - {mod // 2}")
+
+
+# chart bars: for b in 0..3, x in [4 + b*(w//4), +max(w//8,2)) and
+# y >= h - int(h * (0.3 + 0.15*((doc_id+b)%4))) — same double ops as
+# the Python int() truncation
+_CHART_BARS_SQL = " OR ".join(
+    f"(x >= 4 + {b} * (w // 4)"
+    f" AND x < 4 + {b} * (w // 4) + greatest(w // 8, 2)"
+    f" AND y >= h - CAST(trunc(h * (0.3::DOUBLE"
+    f" + 0.15::DOUBLE * ((doc_id + {b}) % 4))) AS BIGINT))"
+    for b in range(4))
+
+# exact gray value of _gen_image at (y, x) given bare columns
+# (doc_id, img_kind, h, w, y, x)
+_GRAY_SQL = f"""CASE img_kind
+  WHEN 'photograph' THEN least(255, greatest(0,
+      (x * 255) // (w - 1) + ({_noise_sql(17)})))
+  WHEN 'chart' THEN CASE WHEN {_CHART_BARS_SQL} THEN 30 ELSE 240 END
+  WHEN 'table_image' THEN CASE
+      WHEN y % greatest(h // 6, 2) = 0 OR x % greatest(w // 5, 2) = 0
+      THEN 0 ELSE 255 END
+  WHEN 'diagram' THEN CASE
+      WHEN y >= h // 4 AND y < h // 2
+       AND x >= w // 4 AND x < (3 * w) // 4
+      THEN 90 ELSE 200 END
+  ELSE CASE WHEN y % 4 = 0 THEN 40
+       ELSE least(255, 250 + ({_noise_sql(41)})) END
+END"""
+
+
+def _cv_sql(t: str) -> str:
+    """Channel value of corner {t}: RGB channels derive from gray by
+    the same uint8 truncation as _gen_image's np.stack."""
+    return (f"CASE ch.c"
+            f" WHEN 1 THEN CAST(trunc({t}.g * 0.9::DOUBLE) AS DOUBLE)"
+            f" WHEN 2 THEN CAST(trunc({t}.g * 0.7::DOUBLE) AS DOUBLE)"
+            f" ELSE CAST({t}.g AS DOUBLE) END")
+
+
+_DOCS_CTE_SQL = f"""
+  SELECT doc_id,
+         {list(_KINDS)!r}[CAST(doc_id % 5 AS INT) + 1] AS img_kind,
+         CAST(48 + (doc_id * 13) % 48 AS BIGINT) AS h,
+         CAST(48 + (doc_id * 29) % 80 AS BIGINT) AS w,
+         CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS nch
+  FROM documents"""
+
+# Full value oracle for mm_image_resize: rebuild the exact source
+# pixels (integer arithmetic incl. the LCG noise), replay np.linspace
+# weights (step = (n-1)/31 rounded ONCE, i*step per index, index 31
+# pinned to n-1), the bilinear formula with identical parenthesization
+# (so every IEEE double op rounds the same), and numpy's
+# round-half-to-even on the uint8 cast. Sum/mean of exact integers —
+# both sides divide an exact int sum by an exact count.
+MM_RESIZE_SQL = f"""
+WITH docs AS ({_DOCS_CTE_SQL}),
+pixbase AS (
+  SELECT d.doc_id, d.img_kind, d.h, d.w, yy.y, xx.x
+  FROM docs d,
+       LATERAL (SELECT unnest(range(d.h)) AS y) yy,
+       LATERAL (SELECT unnest(range(d.w)) AS x) xx),
+pix AS (
+  SELECT doc_id, y, x, {_GRAY_SQL} AS g FROM pixbase),
+ycoord AS (
+  SELECT d.doc_id, i.i AS ti,
+         CASE WHEN i.i = {THUMB - 1} THEN d.h - 1.0
+              ELSE i.i * ((d.h - 1.0) / {THUMB - 1}.0) END AS yf
+  FROM docs d, LATERAL (SELECT unnest(range({THUMB})) AS i) i),
+xcoord AS (
+  SELECT d.doc_id, i.i AS tj,
+         CASE WHEN i.i = {THUMB - 1} THEN d.w - 1.0
+              ELSE i.i * ((d.w - 1.0) / {THUMB - 1}.0) END AS xf
+  FROM docs d, LATERAL (SELECT unnest(range({THUMB})) AS i) i),
+coords AS (
+  SELECT yc.doc_id, yc.ti, xc.tj, d.nch,
+         CAST(floor(yc.yf) AS BIGINT) AS y0,
+         least(CAST(floor(yc.yf) AS BIGINT) + 1, d.h - 1) AS y1,
+         yc.yf - floor(yc.yf) AS wy,
+         CAST(floor(xc.xf) AS BIGINT) AS x0,
+         least(CAST(floor(xc.xf) AS BIGINT) + 1, d.w - 1) AS x1,
+         xc.xf - floor(xc.xf) AS wx
+  FROM ycoord yc
+  JOIN xcoord xc ON xc.doc_id = yc.doc_id
+  JOIN docs d ON d.doc_id = yc.doc_id),
+thumbpix AS (
+  SELECT co.doc_id, co.ti, co.tj, ch.c,
+         (({_cv_sql('p00')} * (1 - co.wx) + {_cv_sql('p01')} * co.wx)
+            * (1 - co.wy)
+          + ({_cv_sql('p10')} * (1 - co.wx) + {_cv_sql('p11')} * co.wx)
+            * co.wy) AS val
+  FROM coords co
+  JOIN pix p00 ON p00.doc_id = co.doc_id
+              AND p00.y = co.y0 AND p00.x = co.x0
+  JOIN pix p01 ON p01.doc_id = co.doc_id
+              AND p01.y = co.y0 AND p01.x = co.x1
+  JOIN pix p10 ON p10.doc_id = co.doc_id
+              AND p10.y = co.y1 AND p10.x = co.x0
+  JOIN pix p11 ON p11.doc_id = co.doc_id
+              AND p11.y = co.y1 AND p11.x = co.x1,
+       LATERAL (SELECT unnest(range(co.nch)) AS c) ch),
+rounded AS (
+  SELECT doc_id,
+         greatest(0, least(255,
+           CASE WHEN val - floor(val) = 0.5
+                THEN CAST(floor(val) AS BIGINT)
+                     + CAST(floor(val) AS BIGINT) % 2
+                ELSE CAST(round(val) AS BIGINT) END)) AS pv
+  FROM thumbpix)
+SELECT d.doc_id, d.img_kind,
+       CAST(d.w AS INT) AS src_w, CAST(d.h AS INT) AS src_h,
+       {THUMB} AS thumb_w, {THUMB} AS thumb_h,
+       CAST(SUM(r.pv) AS BIGINT) AS thumb_sum,
+       CAST(SUM(r.pv) AS DOUBLE)
+         / ({THUMB} * {THUMB} * d.nch) AS thumb_mean
+FROM rounded r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY d.doc_id, d.img_kind, d.w, d.h, d.nch
+"""
+
+
 # mirrors _gen_image: h = 48 + 13*id % 48, w = 48 + 29*id % 80,
 # kind = _KINDS[id % 5], RGB iff id % 3 == 0
 MM_DIMS_SQL = f"""
@@ -508,7 +651,6 @@ FROM documents
 
 QUERIES = {
     "mm_image_metrics": (mm_image_metrics, None),
-    "mm_image_enhance": (mm_image_enhance, None),
-    "mm_image_resize": (mm_image_resize, None),
+    "mm_image_resize": (mm_image_resize, MM_RESIZE_SQL),
     "mm_image_dims": (mm_image_dims, MM_DIMS_SQL),
 }

@@ -100,7 +100,18 @@ def video_payloads(spark, sf):
 
 def mm_video_frames(spark, sf):
     """Container decode → every-k-th frame sample → per-frame
-    brightness + motion vs the previous SAMPLED frame."""
+    brightness + motion vs the previous SAMPLED frame.
+
+    Fully oracled (promoted from rows-only in round 4): the clip
+    synthesis is pure integer arithmetic on doc_id, so the oracle
+    reconstructs every sampled frame's pixel sums in SQL — brightness
+    = sum(channel values)/(h*w*3) and motion = sum|Δ| against the
+    previous sampled frame — WITHOUT running the codec. Both sides
+    divide an exact integer sum (< 2^53, so the float64 sum is exact
+    regardless of summation order) by an exact integer count: the
+    doubles are bit-identical, and the 6-dp round matches. A wrong
+    scanline offset, frame-order bug, or sampling bug on the Spark
+    side breaks the hash match."""
     clips = video_payloads(spark, sf)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -174,6 +185,61 @@ def mm_video_dims(spark, sf):
     return clips.mapInPandas(run, schema=_DIMS_SCHEMA)
 
 
+# mirrors synth_clip pixel math + the SAMPLE_EVERY=2 sampling of
+# mm_video_frames, without running the codec: outside the moving
+# square every pixel's channel sum is base + base//2 + base//3 with
+# base = x*255 // (w-1) (constant down each column), and the square
+# overrides 8 rows x 8 cols with (255, 0, 0). So per sampled frame,
+# brightness_sum = h * sum_x(bsum) + 8 * sum_{x in square}(255 - bsum)
+# and motion_sum = 8 * sum_{x in symdiff of the two squares}
+# ((255 - base) + base//2 + base//3). Both sides divide an exact
+# integer sum by h*w*3 — bit-identical doubles, then round 6.
+MM_VIDEO_FRAMES_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN 'moving' ELSE 'static' END
+           AS clip_kind,
+         CAST(24 + (doc_id * 7) % 16 AS BIGINT) AS h,
+         CAST(32 + (doc_id * 11) % 16 AS BIGINT) AS w,
+         CAST(4 + doc_id % 5 AS BIGINT) AS nf
+  FROM documents),
+cols AS (
+  SELECT d.doc_id, x.x, (x.x * 255) // (d.w - 1) AS base
+  FROM docs d, LATERAL (SELECT unnest(range(d.w)) AS x) x),
+colsums AS (
+  SELECT doc_id, SUM(base + base // 2 + base // 3) AS base_total
+  FROM cols GROUP BY doc_id),
+frames AS (
+  SELECT d.doc_id, d.clip_kind, d.h, d.w, f.f,
+         (f.f * 5) % (d.w - 8) AS x0,
+         ((f.f - 2) * 5) % (d.w - 8) AS x0p
+  FROM docs d, LATERAL (SELECT unnest(range(0, d.nf, 2)) AS f) f),
+fstats AS (
+  SELECT fr.doc_id, fr.f,
+         8 * SUM(CASE WHEN fr.clip_kind = 'moving'
+                       AND c.x >= fr.x0 AND c.x < fr.x0 + 8
+                  THEN 255 - (c.base + c.base // 2 + c.base // 3)
+                  ELSE 0 END) AS sq_adj,
+         8 * SUM(CASE WHEN fr.clip_kind = 'moving' AND fr.f >= 2
+                       AND ((c.x >= fr.x0 AND c.x < fr.x0 + 8)
+                            <> (c.x >= fr.x0p AND c.x < fr.x0p + 8))
+                  THEN (255 - c.base) + c.base // 2 + c.base // 3
+                  ELSE 0 END) AS mdiff
+  FROM frames fr JOIN cols c ON c.doc_id = fr.doc_id
+  GROUP BY fr.doc_id, fr.f)
+SELECT fr.doc_id, fr.clip_kind, 10 AS fps, CAST(fr.f AS INT) AS frame_no,
+       CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
+       round(CAST(fr.h * cs.base_total + fs.sq_adj AS DOUBLE)
+             / (fr.h * fr.w * 3), 6) AS brightness,
+       round(CASE WHEN fr.f >= 2
+                  THEN CAST(fs.mdiff AS DOUBLE) / (fr.h * fr.w * 3)
+                  ELSE 0.0 END, 6) AS motion
+FROM frames fr
+JOIN fstats fs ON fs.doc_id = fr.doc_id AND fs.f = fr.f
+JOIN colsums cs ON cs.doc_id = fr.doc_id
+"""
+
+
 # mirrors synth_clip + video_payloads(fps=10)
 MM_VIDEO_DIMS_SQL = """
 SELECT doc_id,
@@ -188,6 +254,6 @@ FROM documents
 
 
 QUERIES = {
-    "mm_video_frames": (mm_video_frames, None),
+    "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),
     "mm_video_dims": (mm_video_dims, MM_VIDEO_DIMS_SQL),
 }

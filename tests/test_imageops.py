@@ -122,18 +122,19 @@ def test_enhance_changes_charts_not_flat_photos():
 
 def test_image_queries_deterministic_spark(spark):
     from pdf_extraction_api_spark.operators.imageops import (
-        mm_image_enhance,
         mm_image_metrics,
     )
 
     sf = "/root/testdata/sf0.001"
-    a = sorted(map(tuple, mm_image_metrics(spark, sf).collect()))
+    rows_a = mm_image_metrics(spark, sf).collect()
+    a = sorted(map(tuple, rows_a))
     b = sorted(map(tuple, mm_image_metrics(spark, sf).collect()))
     assert a == b
     assert len(a) > 0
-    e = sorted(map(tuple, mm_image_enhance(spark, sf).collect()))
-    assert len(e) == len(a)
+    # enhancement digests ride the same (merged) query now:
     # charts/diagrams/tables/screenshots are always enhanced; flat-ish
     # photographs may pass through — so most rows change but not all
-    changed = sum(1 for r in e if r[4] == "true")
-    assert changed >= len(e) * 0.6
+    changed = sum(1 for r in rows_a if r.changed == "true")
+    assert changed >= len(rows_a) * 0.6
+    assert all(r.orig_md5 != r.enhanced_md5 for r in rows_a
+               if r.changed == "true")

@@ -35,13 +35,18 @@ def test_oracles_cover_queries(registry):
     queries, oracles = registry
     assert set(oracles) <= set(queries)
     rows_only = set(queries) - set(oracles)
-    # only genuinely non-SQL ops may skip the oracle (float image/audio
-    # metrics over real decodes aren't SQL-expressible; their values
-    # are property-tested in tests/test_imageops.py etc. — the decode
-    # round-trip itself IS oracled via mm_image_dims)
-    assert rows_only == {"mm_image_metrics", "mm_image_enhance",
-                         "mm_image_resize", "mm_audio_features",
-                         "mm_video_frames"}
+    # only genuinely non-SQL ops may skip the oracle. Down to TWO in
+    # round 4: mm_image_metrics (Laplacian/Gaussian/FIND_EDGES float
+    # convolutions + PNG re-encode digests — not SQL-reconstructable
+    # at tolerable cost; value-property-tested in test_imageops.py,
+    # decode round-trip oracled via mm_image_dims) and
+    # mm_audio_spectral (rFFT centroid/dominant — a DFT is O(n^2) in
+    # set-based SQL; value-tested against synthesis params in
+    # test_audioops.py). mm_video_frames / mm_audio_features /
+    # mm_image_resize were promoted to full value oracles by making
+    # every synthesis path exact-integer or same-IEEE-double
+    # reproducible in DuckDB.
+    assert rows_only == {"mm_image_metrics", "mm_audio_spectral"}
 
 
 @pytest.mark.parametrize("name", EXECUTE_SAMPLE)
