@@ -36,6 +36,13 @@ byte-parity evidence beyond the clean fixture families:
 - MathML islands (unknown-tag text flow), <template> shadow content
   (skip container, incl. unterminated), percent-encoded UTF-8 hrefs
   and data-URI payload blobs
+- xml:lang/lang/dir attribute soup (nested, contradictory, duplicate,
+  bare and bogus declarations), NESTED marked sections (CDATA inside
+  CDATA ends at the FIRST ]]>, interleaved <![if]> endifs, ignore
+  inside ignore, unterminated inner openers), chunked-transfer
+  truncation artifacts (hard truncation / lost chunk / leaked
+  chunk-size line at arbitrary byte cuts — incl. mid multi-byte
+  UTF-8 sequences)
 
 Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
 byte-equality) — pure Python, no Spark session needed.
@@ -327,6 +334,60 @@ def _pct_encoded_links(rng: random.Random) -> str:
     return f"<p>{links} {_prose(rng, rng.randint(4, 16))}</p>"
 
 
+_LANG_TAGS = ["en", "en-US", "ar", "he-IL", "zh-Hans", "EN-gb",
+              "x-klingon", ""]
+
+
+def _lang_dir_soup(rng: random.Random) -> str:
+    """xml:lang / lang / dir attribute soup: nested elements that
+    re-declare language and direction with contradictory, duplicated,
+    bogus, empty and bare forms (dir with no value, lang vs xml:lang
+    disagreeing, dir=AUTO). Both kernels parse and ignore these
+    attributes; the content must flow through identically no matter
+    how the declarations nest."""
+    span_dir = rng.choice(["rtl", "ltr", "auto", "RTL", ""])
+    inner_words = " ".join(
+        rng.choice(_RTL_WORDS if rng.random() < 0.4 else _WORDS)
+        for _ in range(rng.randint(4, 12)))
+    span_attr = f' dir="{span_dir}"' if span_dir else " dir"
+    span = f"<span{span_attr}>{inner_words}</span>"
+    p_attrs = []
+    if rng.random() < 0.7:
+        p_attrs.append(f'xml:lang="{rng.choice(_LANG_TAGS)}"')
+    if rng.random() < 0.7:
+        p_attrs.append(f'lang="{rng.choice(_LANG_TAGS)}"')
+    if rng.random() < 0.3:  # duplicate attribute: first one wins
+        p_attrs.append(f'lang="{rng.choice(_LANG_TAGS)}"')
+    if rng.random() < 0.5:
+        p_attrs.append(f'dir={rng.choice(["rtl", "ltr", "auto"])}')
+    p = (f"<p {' '.join(p_attrs)}>{_prose(rng, rng.randint(3, 10))} "
+         f"{span} {_prose(rng, rng.randint(0, 6))}</p>")
+    close = "</div>" if rng.random() < 0.8 else ""
+    return (f'<div lang="{rng.choice(_LANG_TAGS)}" '
+            f'dir="{rng.choice(["ltr", "rtl"])}">{p}{close}')
+
+
+def _nested_marked(rng: random.Random) -> str:
+    """NESTED marked sections — a marked section opener inside another
+    marked section's body. SGML nests these; HTML parsers do not: a
+    CDATA body ends at the FIRST ]]> so the outer tail leaks as text,
+    and downlevel-revealed <![if]> sections simply interleave. Parity
+    pins whichever shared rule the kernels implement, including
+    unterminated inner openers."""
+    w1, w2, w3 = (rng.choice(_WORDS) for _ in range(3))
+    variant = rng.randrange(4)
+    if variant == 0:  # CDATA inside CDATA: outer tail leaks after 1st ]]>
+        frag = (f"<![CDATA[{w1} <![CDATA[{w2}]]> {w3}-leaks]]>")
+    elif variant == 1:  # if inside if, both closed, interleaved endifs
+        frag = (f"<![if gte IE 5]>{w1} <![if !ie]>{w2}<![endif]> "
+                f"{w3}<![endif]>")
+    elif variant == 2:  # ignore inside ignore
+        frag = f"<![ignore[{w1} <![ignore[{w2}]]> ]]>{w3}"
+    else:  # unterminated inner opener inside a closed outer
+        frag = f"<![if ie]>{w1} <![CDATA[{w2}<![endif]> {w3}"
+    return f"<p>{_prose(rng, rng.randint(2, 8))} {frag}</p>"
+
+
 def _megaline(rng: random.Random) -> str:
     """One minified mega-paragraph: thousands of words, zero newlines.
     Stresses scanner buffering and any per-block windowing cap."""
@@ -341,7 +402,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(21)
+        kind = rng.randrange(23)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -385,6 +446,10 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_template_block(rng))
         elif kind == 19:
             parts.append(_pct_encoded_links(rng))
+        elif kind == 20:
+            parts.append(_lang_dir_soup(rng))
+        elif kind == 21:
+            parts.append(_nested_marked(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
@@ -396,6 +461,22 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.15:  # stray non-utf8 byte → latin-1 fallback
         cut = rng.randrange(max(1, len(html)))
         html = html[:cut] + bytes([rng.randint(0x80, 0xFF)]) + html[cut:]
+    if rng.random() < 0.08:  # chunked-transfer truncation artifacts:
+        # cuts land at arbitrary BYTE positions, i.e. sometimes inside
+        # a multi-byte UTF-8 sequence (RTL/CJK content above makes
+        # those common) — exercising the decode-fallback path at the
+        # exact places real de-chunker glitches produce them
+        cut = rng.randrange(max(1, len(html)))
+        variant = rng.randrange(3)
+        if variant == 0:    # connection died mid-chunk: hard truncate
+            html = html[:cut]
+        elif variant == 1:  # one chunk lost: splice out a middle span
+            cut2 = min(len(html), cut + rng.randint(64, 2048))
+            html = html[:cut] + html[cut2:]
+        else:               # de-chunker leaked a chunk-size line
+            html = (html[:cut] + b"\r\n"
+                    + f"{rng.randint(0x10, 0xFFF):x}".encode()
+                    + b"\r\n" + html[cut:])
     return {"url": f"https://hard.example/{doc_id:08d}", "html": html}
 
 

@@ -159,6 +159,46 @@ def test_vacuum_reader_grace_protects_superseded_files(spark, tmp_path):
     assert {r.url for r in cat.read(spark, "t").collect()} == {"a"}
 
 
+def test_vacuum_in_flight_reader_completes_scan(spark, tmp_path):
+    """The stronger form of the reader-grace guarantee: an ACTUAL
+    in-flight reader — a DataFrame whose parquet path list was
+    resolved BEFORE a compaction — must complete its scan after
+    compact + vacuum(grace > 0). And the failure mode the grace
+    window exists to prevent is demonstrated, not assumed: at
+    grace=0 the superseded files are unlinked and the same held plan
+    dies mid-scan — the reason the production default is 900 s
+    (Iceberg's expire_snapshots/remove_orphan_files retain windows
+    serve the identical purpose)."""
+    import os
+    import time
+
+    cat = _cat(tmp_path, "wh")
+    cat.append(_df(spark, [("a", 1), ("b", 2)]), "t", run_id="r1")
+    tdir = tmp_path / "wh" / "t"
+    # age the data files so only the supersede-event gate protects them
+    old = time.time() - 3600
+    for p in (tdir / "data").rglob("*"):
+        if p.is_file():
+            os.utime(p, (old, old))
+    reader = cat.read(spark, "t")  # resolves r1's file paths NOW
+    cat.compact(spark, "t", run_id="m1")  # supersedes those files
+    assert cat.vacuum("t", grace_seconds=600) == []
+    # the pre-compaction reader still completes its scan
+    assert {r.url for r in reader.collect()} == {"a", "b"}
+    # grace=0: age the supersede stamp out (int-second commit stamp vs
+    # float cutoff — same dance as the sibling test), files go…
+    deleted = cat.vacuum("t", grace_seconds=0)
+    time.sleep(1.1)
+    deleted += cat.vacuum("t", grace_seconds=0)
+    assert any(f.endswith(".parquet") for f in deleted)
+    # …and the held pre-compaction plan now fails mid-scan: this is
+    # the documented grace=0 hazard (FileNotFound wrapped by Spark)
+    with pytest.raises(Exception, match="(?i)file|exist|FileNotFound"):
+        reader.collect()
+    # new readers are unaffected — they resolve the compacted snapshot
+    assert {r.url for r in cat.read(spark, "t").collect()} == {"a", "b"}
+
+
 def test_vacuum_clears_sidecars_and_empty_dirs(spark, tmp_path):
     """_SUCCESS/.crc sidecars and emptied run directories of crashed
     or superseded runs must not accumulate forever."""
