@@ -79,6 +79,25 @@ _MS_SECTIONS = frozenset({"if", "else", "endif"})
 _INCOMPLETE = -1  # construct unterminated at EOF → recovery path
 _CRASH = -2       # html.parser would raise AssertionError here
 
+# Batched dispatch token for model.run_fused: ONE regex call replaces
+# the per-construct find('<') + 1-char slice + class test + separate
+# tagfind/endtagfind match. Composed from the stdlib's own pattern
+# STRINGS (not retyped), preserving this module's no-drift guarantee:
+#   group 1 — text run up to the next '<' (== s.find('<') semantics)
+#   group 2 — simple start tag name: tagfind_tolerant + immediate '>'
+#             (exactly the old fast-path gate `tagfind.match; s[k]=='>'`;
+#             backtracking cannot widen it — the trailing class chars
+#             are never '>', so giving one back still fails)
+#   group 3 — end tag name: endtagfind verbatim (sans the leading '<')
+# Anything else (attrs, comments, PIs, marked sections, EOF '<') makes
+# both tag groups None and falls to the verbatim slow dispatch.
+# 200k-string randomized equivalence vs the old dispatch plus the
+# fuzz/golden suites gate this (tests/test_fuzz_parity.py).
+_FUSED_TOKEN = re.compile(
+    "([^<]*)<(?:" + _TAGFIND.pattern + ">|"
+    + _ENDTAGFIND.pattern[1:] + ")?")
+assert _FUSED_TOKEN.groups == 3, "stdlib tokenizer patterns changed shape"
+
 
 def _recover(s: str, i: int, data) -> int:
     """goahead's end-of-input recovery for an incomplete construct:

@@ -325,18 +325,20 @@ def run_fused(m: DocModel, s: str) -> None:
     st = m._stack
     tbl = m._tbl
     unescape = H.unescape
-    tagfind = H._TAGFIND
-    endtagfind = H._ENDTAGFIND
+    token = H._FUSED_TOKEN.match
     n = len(s)
     i = 0
     while i < n:
-        lt = s.find("<", i)
-        if lt < 0:
+        # batched dispatch: one match yields (text-run, simple-start,
+        # simple-end) — see htmlscan._FUSED_TOKEN for the equivalence
+        # argument vs the old find + classify + tagfind sequence
+        mtok = token(s, i)
+        if mtok is None:  # no '<' left: final text flush
             chunk = s[i:]
             data(unescape(chunk) if "&" in chunk else chunk)
             return
-        if lt > i:
-            chunk = s[i:lt]
+        chunk, tag, etag = mtok.group(1, 2, 3)  # one C call, not three
+        if chunk:
             if "&" in chunk:
                 chunk = unescape(chunk)
             # inlined handle_data fast paths (table cell / pre); the
@@ -351,139 +353,140 @@ def run_fused(m: DocModel, s: str) -> None:
                     cell.append(chunk)
             else:
                 data(chunk)
-        c = s[lt + 1: lt + 2]
-        if "a" <= c <= "z" or "A" <= c <= "Z":
-            mt = tagfind.match(s, lt + 1)
-            k = mt.end()
-            if k < n and s[k] == ">":
-                tag = mt.group(1).lower()
-                i = k + 1
-                # ---- inlined handle_starttag(tag, []) ----
-                boiler = st[-1][1] if st else False
-                if tag in _SKIP:
-                    m._skip += 1
-                    st.append((tag, boiler, m._page))
-                    if tag in H._RAWTEXT:
-                        m2 = H._CDATA_CLOSE[tag].search(s, i)
-                        if m2 is None:
-                            return
-                        # cdata content: handle_data drops it
-                        # (m._skip >= 1 here), so no data call
-                        end(tag)
-                        i = m2.end()
-                    continue
-                page = m._page
-                if not boiler and tag in BOILER_TAGS:
-                    boiler = True
-                if m._pre is not None:
-                    if tag == "pre":
-                        m._pre[3] += 1
-                elif tag == "table":
-                    m._flush_blk()
-                    tbl.append([page, "stream", [], None, None])
-                elif tbl:
-                    t = tbl[-1]
-                    if tag == "tr":
-                        row = t[3]
-                        cell = t[4]
-                        if cell is not None and row is not None:
-                            row.append("".join(cell))
-                        t[4] = None
-                        if row is not None:
-                            t[2].append(row)
-                        t[3] = []
-                    elif tag in ("td", "th"):
-                        cell = t[4]
-                        if cell is not None and t[3] is not None:
-                            t[3].append("".join(cell))
-                        if t[3] is None:
-                            t[3] = []
-                        t[4] = []
-                elif tag == "pre":
-                    m._flush_blk()
-                    m._pre = [page, boiler, [], 1]
-                elif tag in _BLOCK:
-                    m._flush_blk()
-                    m._blk = [page, boiler, [], 0, 0]
-                elif tag == "a":
-                    m._links += 1
-                elif tag in _CONTAINER:
-                    m._flush_blk()
-                st.append((tag, boiler, page))
-                # ---- end inline (no rawtext: handled above) ----
-            else:
-                i, cdata = H._starttag(s, lt, data, start, end)
-                if i < 0:
-                    i = H._recover(s, lt, data)
-                    continue
-                if cdata is not None:
-                    m2 = H._CDATA_CLOSE[cdata].search(s, i)
+        if tag is not None:
+            tag = tag.lower()
+            i = mtok.end()
+            # ---- inlined handle_starttag(tag, []) ----
+            boiler = st[-1][1] if st else False
+            if tag in _SKIP:
+                m._skip += 1
+                st.append((tag, boiler, m._page))
+                if tag in H._RAWTEXT:
+                    m2 = H._CDATA_CLOSE[tag].search(s, i)
                     if m2 is None:
                         return
-                    if m2.start() > i:
-                        data(s[i:m2.start()])
-                    end(cdata)
+                    # cdata content: handle_data drops it
+                    # (m._skip >= 1 here), so no data call
+                    end(tag)
                     i = m2.end()
-        elif c == "/":
-            mm = endtagfind.match(s, lt)
-            if mm is not None:
-                tag = mm.group(1).lower()
-                i = mm.end()
-                # ---- inlined handle_endtag ----
-                if st and st[-1][0] == tag:
-                    page_before = st[-1][2]
-                    st.pop()
-                else:
-                    idx = None
-                    for j in range(len(st) - 1, -1, -1):
-                        if st[j][0] == tag:
-                            idx = j
-                            break
-                    if idx is None:
-                        continue
-                    page_before = st[idx][2]
-                    del st[idx:]
-                if tag in _SKIP:
-                    m._skip = max(0, m._skip - 1)
-                    continue
-                if m._pre is not None:
-                    if tag == "pre":
-                        m._pre[3] -= 1
-                        if m._pre[3] == 0:
-                            m._finish_pre()
-                    continue
-                if tag == "table":
-                    if tbl:
-                        m._close_table()
-                elif tbl:
-                    t = tbl[-1]
-                    if tag == "tr":
-                        row = t[3]
-                        cell = t[4]
-                        if cell is not None and row is not None:
-                            row.append("".join(cell))
-                        t[4] = None
-                        if row is not None:
-                            t[2].append(row)
-                        t[3] = None
-                    elif tag in ("td", "th"):
-                        cell = t[4]
-                        if cell is not None and t[3] is not None:
-                            t[3].append("".join(cell))
-                        t[4] = None
-                elif tag in _BLOCK:
-                    m._flush_blk()
-                elif tag == "a":
-                    m._links = max(0, m._links - 1)
-                elif tag in _CONTAINER:
-                    m._flush_blk()
-                if tag == "section":
-                    m._page = page_before
-                # ---- end inline ----
+                continue
+            page = m._page
+            if not boiler and tag in BOILER_TAGS:
+                boiler = True
+            if m._pre is not None:
+                if tag == "pre":
+                    m._pre[3] += 1
+            elif tag == "table":
+                m._flush_blk()
+                tbl.append([page, "stream", [], None, None])
+            elif tbl:
+                t = tbl[-1]
+                if tag == "tr":
+                    row = t[3]
+                    cell = t[4]
+                    if cell is not None and row is not None:
+                        row.append("".join(cell))
+                    t[4] = None
+                    if row is not None:
+                        t[2].append(row)
+                    t[3] = []
+                elif tag in ("td", "th"):
+                    cell = t[4]
+                    if cell is not None and t[3] is not None:
+                        t[3].append("".join(cell))
+                    if t[3] is None:
+                        t[3] = []
+                    t[4] = []
+            elif tag == "pre":
+                m._flush_blk()
+                m._pre = [page, boiler, [], 1]
+            elif tag in _BLOCK:
+                m._flush_blk()
+                m._blk = [page, boiler, [], 0, 0]
+            elif tag == "a":
+                m._links += 1
+            elif tag in _CONTAINER:
+                m._flush_blk()
+            st.append((tag, boiler, page))
+            # ---- end inline (no rawtext: handled above) ----
+            continue
+        if etag is not None:
+            tag = etag.lower()
+            i = mtok.end()
+            # ---- inlined handle_endtag ----
+            if st and st[-1][0] == tag:
+                page_before = st[-1][2]
+                st.pop()
             else:
-                i = H._endtag(s, lt, end)
-                if i < 0:
-                    i = H._recover(s, lt, data)
+                idx = None
+                for j in range(len(st) - 1, -1, -1):
+                    if st[j][0] == tag:
+                        idx = j
+                        break
+                if idx is None:
+                    continue
+                page_before = st[idx][2]
+                del st[idx:]
+            if tag in _SKIP:
+                m._skip = max(0, m._skip - 1)
+                continue
+            if m._pre is not None:
+                if tag == "pre":
+                    m._pre[3] -= 1
+                    if m._pre[3] == 0:
+                        m._finish_pre()
+                continue
+            if tag == "table":
+                if tbl:
+                    m._close_table()
+            elif tbl:
+                t = tbl[-1]
+                if tag == "tr":
+                    row = t[3]
+                    cell = t[4]
+                    if cell is not None and row is not None:
+                        row.append("".join(cell))
+                    t[4] = None
+                    if row is not None:
+                        t[2].append(row)
+                    t[3] = None
+                elif tag in ("td", "th"):
+                    cell = t[4]
+                    if cell is not None and t[3] is not None:
+                        t[3].append("".join(cell))
+                    t[4] = None
+            elif tag in _BLOCK:
+                m._flush_blk()
+            elif tag == "a":
+                m._links = max(0, m._links - 1)
+            elif tag in _CONTAINER:
+                m._flush_blk()
+            if tag == "section":
+                m._page = page_before
+            # ---- end inline ----
+            continue
+        # neither simple form matched at this '<': verbatim slow
+        # dispatch (attr-bearing/malformed tags, comments, decls,
+        # marked sections, PIs, EOF '<'), exactly htmlscan.scan's
+        lt = mtok.end(1)
+        c = s[lt + 1: lt + 2]
+        if "a" <= c <= "z" or "A" <= c <= "Z":
+            i, cdata = H._starttag(s, lt, data, start, end)
+            if i < 0:
+                i = H._recover(s, lt, data)
+                continue
+            if cdata is not None:
+                m2 = H._CDATA_CLOSE[cdata].search(s, i)
+                if m2 is None:
+                    return
+                if m2.start() > i:
+                    data(s[i:m2.start()])
+                end(cdata)
+                i = m2.end()
+        elif c == "/":
+            i = H._endtag(s, lt, end)
+            if i < 0:
+                i = H._recover(s, lt, data)
         elif c == "!":
             if s.startswith("<!--", lt):
                 m2 = H._COMMENTCLOSE.search(s, lt + 4)
