@@ -46,7 +46,7 @@ zero-shuffle map (array_min over a transform — no per-position explode).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .relational import T
 
@@ -1392,7 +1392,142 @@ LEFT JOIN near_hit nh ON nh.doc_id = n.doc_id
 """
 
 
+PACK_CAP = 2048      # tokens per packed training sequence
+PACK_BUCKET = 256    # docs per prefix-sum bucket (see tx_pack_sequences)
+
+
+def tx_pack_sequences(spark, sf):
+    """GPT-style sequence packing offsets: concatenate all documents
+    in doc_id order into one token stream and cut it into fixed
+    PACK_CAP-token training sequences (documents may straddle cuts —
+    the standard causal-LM packing). Emits per doc: its token count,
+    its start offset in the global stream, and the first/last
+    sequence ids it lands in.
+
+    The scale problem is the GLOBAL running sum: a naive
+    Window.orderBy(doc_id) cumsum is a single-partition sort of the
+    full corpus. This plan is the classic two-level parallel prefix
+    sum instead: (1) bucket docs by doc_id // PACK_BUCKET and window
+    WITHIN buckets (parallel, partitioned), (2) cumsum the tiny
+    per-bucket totals table (rows = n_docs/PACK_BUCKET; the only
+    unpartitioned window, over thousands of rows per billion docs —
+    recurse the same trick if that ever matters), (3) broadcast-join
+    the bucket bases back. Exact integer math end-to-end, so the
+    DuckDB oracle (a plain window cumsum) hash-matches."""
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    bucket_tot = per_doc.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("tot"))
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    bases = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("tot").over(w_buckets), F.lit(0)).alias("base"),
+    )
+    w_intra = (Window.partitionBy("bucket").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    start = (F.col("base")
+             + F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0)))
+    first_seq = F.floor(start / PACK_CAP)
+    last_tok = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return (
+        per_doc.join(F.broadcast(bases), "bucket")
+        .select(
+            "doc_id", "n_tokens",
+            start.cast("long").alias("start_offset"),
+            first_seq.cast("long").alias("first_seq"),
+            # zero-token docs sit AT their offset: last = first
+            F.floor(last_tok / PACK_CAP).cast("long").alias("last_seq"),
+        )
+    )
+
+
+TX_PACK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start_offset,
+       start_offset // {PACK_CAP} AS first_seq,
+       (start_offset + greatest(n_tokens, 1) - 1) // {PACK_CAP}
+         AS last_seq
+FROM c
+"""
+
+
+CHUNK_TOKENS = 64   # tokens per chunk window
+CHUNK_STRIDE = 48   # window stride (64 - 48 = 16-token overlap)
+
+
+def tx_chunk_windows(spark, sf):
+    """Sliding-window chunking (RAG / long-doc training prep): per
+    document, overlapping windows of CHUNK_TOKENS tokens every
+    CHUNK_STRIDE — zero-shuffle map side: split → guarded sequence →
+    posexplode → slice/concat_ws, all JVM HOFs.
+
+    The chunk-count sequence is wrapped in a lazy CASE (PLANS.md
+    round-3 pitfall: InferFiltersFromGenerate can push a
+    generate-source expression into scan DataFilters where it runs on
+    PRE-filter rows, so any sequence() bound must be total)."""
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toked = d.select("doc_id", toks.alias("toks"))
+    chunk_ids = F.expr(
+        f"CASE WHEN size(toks) >= 1 THEN "
+        f"sequence(0, CAST((size(toks) - 1) / {CHUNK_STRIDE} AS INT)) "
+        f"ELSE array() END")
+    ex = toked.select(
+        "doc_id", "toks",
+        F.explode(chunk_ids).alias("chunk_id"))
+    s0 = F.col("chunk_id") * CHUNK_STRIDE
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        s0.cast("int").alias("chunk_start"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("toks") - s0)
+        .cast("int").alias("chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("toks", s0 + 1, CHUNK_TOKENS))
+        .alias("chunk_text"),
+    )
+
+
+TX_CHUNK_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, i.i AS chunk_id,
+       CAST(i.i * {CHUNK_STRIDE} AS INT) AS chunk_start,
+       CAST(least({CHUNK_TOKENS},
+                  len(toks) - i.i * {CHUNK_STRIDE}) AS INT)
+         AS chunk_tokens,
+       array_to_string(
+         toks[i.i * {CHUNK_STRIDE} + 1 : i.i * {CHUNK_STRIDE}
+              + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM toked,
+     LATERAL (SELECT unnest(range((len(toks) - 1) // {CHUNK_STRIDE}
+                                  + 1)) AS i) i
+WHERE len(toks) >= 1
+"""
+
+
 QUERIES = {
+    "tx_pack_sequences": (tx_pack_sequences, TX_PACK_SQL),
+    "tx_chunk_windows": (tx_chunk_windows, TX_CHUNK_SQL),
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "tx_decontam": (tx_decontam, TX_DECONTAM_SQL),
     "dd_common_segments": (dd_common_segments, DD_SEGMENTS_SQL),
