@@ -1011,26 +1011,39 @@ def tx_mix_rebalance(spark, sf):
     map-side filter over the scan — no second shuffle until the final
     rollup."""
     d = T(spark, sf, "documents")
-    # ONE scan: the per-lang counts agg; its ≤|langs| rows come to the
-    # driver and the rate math runs over literals (same Spark double
-    # expressions as the oracle — bit-identical), so no second
-    # full-table count() scan and no extra job for the max.
-    stats = d.groupBy("lang").agg(F.count("*").alias("n_lang")).collect()
-    total = float(sum(r.n_lang for r in stats))
-    base = spark.createDataFrame(
-        [(r.lang, r.n_lang, float(_MIX_TARGET.get(r.lang, 0.0)))
-         for r in stats],
-        "lang STRING, n_lang BIGINT, share DOUBLE")
-    rated = base.select(
-        "lang", "n_lang",
-        (F.col("share")
-         / (F.col("n_lang") / F.lit(total))).alias("raw_rate"),
+    # Fully in-plan (round-4 rewrite of two driver .collect()s): the
+    # per-lang counts, the grand total, and the max raw rate are all
+    # tiny single/few-row aggregates composed via broadcast joins —
+    # zero driver round-trips, and the plan no longer depends on the
+    # stratification key being low-cardinality (a high-cardinality
+    # key, e.g. domain instead of lang, now just makes the broadcast
+    # side bigger instead of serializing through the driver). The
+    # double expressions mirror the oracle op-for-op (share /
+    # (n_lang / total)) so the 9-dp rates stay bit-identical.
+    share = F.coalesce(*[
+        F.when(F.col("lang") == k, F.lit(float(v)))
+        for k, v in _MIX_TARGET.items()
+    ] + [F.lit(0.0)])
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = counts.agg(
+        F.sum("n_lang").cast("double").alias("total"))  # 1 row
+    rated = (
+        counts.join(F.broadcast(total))
+        .select(
+            "lang", "n_lang",
+            (share / (F.col("n_lang") / F.col("total")))
+            .alias("raw_rate"),
+        )
     )
-    max_rate = rated.agg(F.max("raw_rate")).collect()[0][0] or 1.0
-    rates = rated.select(
-        "lang", "n_lang",
-        F.round(F.col("raw_rate") / F.lit(float(max_rate)), 9)
-        .alias("rate"))
+    maxr = rated.agg(
+        F.coalesce(F.max("raw_rate"), F.lit(1.0)).alias("max_rate"))
+    rates = (
+        rated.join(F.broadcast(maxr))
+        .select(
+            "lang", "n_lang",
+            F.round(F.col("raw_rate") / F.col("max_rate"), 9)
+            .alias("rate"))
+    )
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
                                 1, 4), 16, 10).cast("long")
     kept = (
