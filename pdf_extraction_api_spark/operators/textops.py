@@ -1538,8 +1538,110 @@ WHERE len(toks) >= 1
 """
 
 
+def dd_url_canonical(spark, sf):
+    """URL-canonicalization dedup — the first dedup pass of every
+    crawl pipeline: the same page arrives under scheme/host case
+    variants, default ports, tracking parameters (utm_*, fbclid,
+    gclid), fragments and trailing slashes. Deterministic crawl-style
+    variant URLs are synthesized per doc (three variant shapes per
+    page key = doc_id // 3), then canonicalized with a pure-JVM
+    regexp chain (lowercase scheme+host, strip :443, drop fragment,
+    strip tracking params + dangling separators, strip trailing
+    slash) and deduplicated by min-doc_id keeper per canonical URL.
+    Plan: scalar projection → one shuffle on canonical_url for the
+    keeper window — no joins, no Python. The oracle replays the same
+    chain in RE2 (DuckDB) — separator cleanup and backreference
+    behavior must agree across regex engines, which is exactly what
+    the hash check pins."""
+    d = T(spark, sf, "documents")
+    # host derives from the PAGE key (not the row) so each 3-doc
+    # variant group shares a host and really collapses to one keeper
+    pg = (F.col("doc_id") / 3).cast("long")
+    page = pg.cast("string")
+    host = F.concat(F.lit("s"), (pg % 20).cast("string"))
+    did = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://WWW."), host,
+            F.lit(".example:443/articles/"), page,
+            F.lit("/?utm_source=feed&utm_campaign=c"), did))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://www."), host,
+            F.lit(".Example/articles/"), page,
+            F.lit("?fbclid=fb"), did, F.lit("#section-2")))
+        .otherwise(F.concat(
+            F.lit("https://www."), host,
+            F.lit(".example/articles/"), page)))
+    c = F.regexp_replace(url, "#.*$", "")               # fragment
+    head = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    c = F.concat(F.lower(F.regexp_extract(c, head, 0)),  # scheme+host
+                 F.regexp_replace(c, head, ""))          # lowercased
+    c = F.regexp_replace(c, ":443/", "/")                # default port
+    c = F.regexp_replace(                                # tracking
+        c, "([?&])(utm_[^&=#]*|fbclid|gclid)=[^&#]*", "$1")
+    c = F.regexp_replace(c, r"\?&", "?")                 # dangling sep
+    c = F.regexp_replace(c, "&&", "&")
+    c = F.regexp_replace(c, "[?&]$", "")
+    c = F.regexp_replace(c, "/$", "")                    # trail slash
+    keeper = F.min("doc_id").over(
+        Window.partitionBy("canonical_url"))
+    return (
+        d.select("doc_id", url.alias("url"), c.alias("canonical_url"))
+        .withColumn("keeper_id", keeper)
+        .select(
+            "doc_id", "url", "canonical_url", "keeper_id",
+            F.when(F.col("doc_id") == F.col("keeper_id"), "false")
+            .otherwise("true").alias("is_dup"))
+    )
+
+
+DD_URL_CANONICAL_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'https://WWW.s' || CAST((doc_id // 3) % 20 AS VARCHAR)
+             || '.example:443/articles/' || CAST(doc_id // 3 AS VARCHAR)
+             || '/?utm_source=feed&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN 'HTTPS://www.s' || CAST((doc_id // 3) % 20 AS VARCHAR)
+             || '.Example/articles/' || CAST(doc_id // 3 AS VARCHAR)
+             || '?fbclid=fb' || CAST(doc_id AS VARCHAR) || '#section-2'
+           ELSE 'https://www.s' || CAST((doc_id // 3) % 20 AS VARCHAR)
+             || '.example/articles/' || CAST(doc_id // 3 AS VARCHAR)
+         END AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0))
+                   || regexp_replace(regexp_replace(url, '#.*$', ''),
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                   ':443/', '/', 'g'),
+                 '([?&])(utm_[^&=#]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+               '\?&', '?', 'g'),
+             '&&', '&', 'g'),
+           '[?&]$', '') AS canonical_url
+  FROM u)
+, canon2 AS (
+  SELECT doc_id, url,
+         regexp_replace(canonical_url, '/$', '') AS canonical_url
+  FROM canon)
+SELECT doc_id, url, canonical_url,
+       min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_id,
+       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+            THEN 'false' ELSE 'true' END AS is_dup
+FROM canon2
+"""
+
+
 QUERIES = {
     "tx_pack_sequences": (tx_pack_sequences, TX_PACK_SQL),
+    "dd_url_canonical": (dd_url_canonical, DD_URL_CANONICAL_SQL),
     "tx_chunk_windows": (tx_chunk_windows, TX_CHUNK_SQL),
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "tx_decontam": (tx_decontam, TX_DECONTAM_SQL),
