@@ -947,6 +947,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def ev_hopping(spark, sf):
+    """Hopping (sliding) window rollup — completes the window family
+    (tumbling / session-gap / frame-based moving stats): 1-hour
+    windows every 30 minutes, so each event contributes to exactly 2
+    overlapping windows. Spark plans the multi-window membership as
+    one Expand (factor = size/hop) feeding a single hash agg — no
+    join, no explode of a generated array; the streaming path accepts
+    the identical window(ts, '1 hour', '30 minutes') expression. The
+    oracle reproduces the membership set with a 2-offset lateral off
+    epoch-aligned time_bucket starts (Spark windows are
+    epoch-aligned, which is what makes the two agree)."""
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type",
+            "n_events", "total_value")
+    )
+
+
+EV_HOPPING_SQL = """
+SELECT win_start, event_type, count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - o.o * INTERVAL '30 minutes' AS win_start,
+         event_type, value
+  FROM events, LATERAL (SELECT unnest(range(2)) AS o) o)
+GROUP BY 1, 2
+"""
+
+
 def q5_local_supplier(spark, sf):
     """TPC-H Q5-shaped 6-way join (region⋈nation⋈customer⋈supplier⋈
     orders⋈lineitem): dimension chain broadcasts, fact joins shuffle on
@@ -1121,6 +1159,7 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
+    "ev_hopping": (ev_hopping, EV_HOPPING_SQL),
     "ev_moving_stats": (ev_moving_stats, EV_MOVING_SQL),
     "ev_pivot": (ev_pivot, EV_PIVOT_SQL),
     "ev_ranks": (ev_ranks, EV_RANKS_SQL),
