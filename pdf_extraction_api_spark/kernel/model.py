@@ -71,7 +71,8 @@ class DocModel(HTMLParser):
         self._page = 1
         self._skip = 0
         self._links = 0
-        # open block: [page, boiler, parts, link_chars, total_chars]
+        # open block: [page, boiler, parts, link_parts] — counts are
+        # derived at flush from ONE split (see _emit_block)
         self._blk: list | None = None
         # open tables: [page, method, rows, row|None, cell|None]
         self._tbl: list[list] = []
@@ -86,14 +87,25 @@ class DocModel(HTMLParser):
             self.max_page = page
 
     def _emit_block(self, page: int, boiler: bool, raw: str,
-                    link_chars: int, total_chars: int):
-        text = _norm(raw)
-        if not text:
-            return
+                    link_raw: str):
+        # ONE split serves normalization AND the total non-ws count
+        # (total == len(text) - gaps; r4 fuse of the former per-chunk
+        # _nonws_count accumulation — values identical: non-ws count
+        # of the concatenated chunks equals the sum over chunks)
+        if raw.isalnum():
+            text = raw
+            total = len(raw)
+        else:
+            parts = raw.split()
+            if not parts:
+                return
+            text = " ".join(parts)
+            total = len(text) - len(parts) + 1
         if boiler:
             kind = "boilerplate"
         else:
-            d = link_chars / total_chars if total_chars > 0 else 0.0
+            link = _nonws_count(link_raw) if link_raw else 0
+            d = link / total if total > 0 else 0.0
             kind = ("boilerplate" if d > 0.5
                     or (len(text) < 25 and d > 0.2) else "content")
         self._span(kind, page, text)
@@ -103,7 +115,7 @@ class DocModel(HTMLParser):
     def _flush_blk(self):
         b, self._blk = self._blk, None
         if b is not None:
-            self._emit_block(b[0], b[1], "".join(b[2]), b[3], b[4])
+            self._emit_block(b[0], b[1], "".join(b[2]), "".join(b[3]))
 
     def _emit_table(self, page: int, method: str, rows: list[list[str]]):
         # hot: one span per non-empty cell — cursor arithmetic is kept
@@ -149,7 +161,9 @@ class DocModel(HTMLParser):
         if rows is not None:
             self._emit_table(page, "stream", rows)
         else:
-            self._emit_block(page, boiler, raw, 0, _nonws_count(raw))
+            # no links inside <pre> accounting: link_raw "" → d = 0,
+            # same kind decision as the old (0, _nonws_count(raw))
+            self._emit_block(page, boiler, raw, "")
 
     # -- events ----------------------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -211,7 +225,7 @@ class DocModel(HTMLParser):
             self._pre = [self._page, boiler, [], 1]
         elif tag in _BLOCK:
             self._flush_blk()
-            self._blk = [self._page, boiler, [], 0, 0]
+            self._blk = [self._page, boiler, [], []]
         elif tag == "a":
             self._links += 1
         elif tag in _CONTAINER:
@@ -286,12 +300,10 @@ class DocModel(HTMLParser):
             if not data.strip():
                 return
             boiler = self._stack[-1][1] if self._stack else False
-            self._blk = [self._page, boiler, [], 0, 0]
+            self._blk = [self._page, boiler, [], []]
         self._blk[2].append(data)
-        n = _nonws_count(data)
-        self._blk[4] += n
         if self._links:
-            self._blk[3] += n
+            self._blk[3].append(data)
 
     def finish(self):
         while self._tbl:
@@ -402,7 +414,7 @@ def run_fused(m: DocModel, s: str) -> None:
                 m._pre = [page, boiler, [], 1]
             elif tag in _BLOCK:
                 m._flush_blk()
-                m._blk = [page, boiler, [], 0, 0]
+                m._blk = [page, boiler, [], []]
             elif tag == "a":
                 m._links += 1
             elif tag in _CONTAINER:
