@@ -1427,13 +1427,23 @@ def tx_pack_sequences(spark, sf):
     recurse the same trick if that ever matters), (3) broadcast-join
     the bucket bases back. Exact integer math end-to-end, so the
     DuckDB oracle (a plain window cumsum) hash-matches."""
+    return _pack_offsets(spark, sf, with_toks=False).select(
+        "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq")
+
+
+def _pack_offsets(spark, sf, *, with_toks: bool):
+    """Shared two-level-prefix-sum core of the packing family: per
+    doc (doc_id, [toks,] n_tokens, start_offset, first_seq,
+    last_seq). `with_toks` carries the token array through for the
+    payload materializer; the offsets query drops it before the
+    shuffle so only 16 bytes/doc move."""
     d = T(spark, sf, "documents")
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    per_doc = d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
-    )
+    cols = [F.col("doc_id"), F.size(toks).alias("n_tokens"),
+            (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket")]
+    if with_toks:
+        cols.insert(1, toks.alias("toks"))
+    per_doc = d.select(*cols)
     bucket_tot = per_doc.groupBy("bucket").agg(
         F.sum("n_tokens").alias("tot"))
     w_buckets = Window.orderBy("bucket").rowsBetween(
@@ -1448,16 +1458,90 @@ def tx_pack_sequences(spark, sf):
              + F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0)))
     first_seq = F.floor(start / PACK_CAP)
     last_tok = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    keep = (["doc_id", "toks"] if with_toks else ["doc_id"])
     return (
         per_doc.join(F.broadcast(bases), "bucket")
         .select(
-            "doc_id", "n_tokens",
+            *keep, "n_tokens",
             start.cast("long").alias("start_offset"),
             first_seq.cast("long").alias("first_seq"),
             # zero-token docs sit AT their offset: last = first
             F.floor(last_tok / PACK_CAP).cast("long").alias("last_seq"),
         )
     )
+
+
+def tx_pack_payloads(spark, sf):
+    """Packed-batch MATERIALIZER — the step that actually produces
+    training rows: every PACK_CAP-token sequence's payload assembled
+    from the (possibly many, possibly partial) documents that land in
+    it. Per doc, explode its [first_seq, last_seq] range (guaranteed
+    non-descending: zero-token docs are filtered), slice the token
+    span that intersects each sequence window, then one hash agg per
+    sequence stitches the parts in start-offset order (array_sort on
+    a (start, part) struct — deterministic, no Window) and fingerprints
+    the payload. Two shuffles move the payload: the bucket window and
+    the final per-sequence agg — the minimum for a materializer whose
+    OUTPUT is the payload. The oracle rebuilds every sequence with
+    the same window cumsum + list slicing and an ORDER BY string_agg;
+    md5 equality pins token-exact payload assembly."""
+    per = _pack_offsets(spark, sf, with_toks=True).filter(
+        F.col("n_tokens") >= 1)
+    ex = per.select(
+        "doc_id", "toks", "n_tokens", "start_offset",
+        F.explode(F.expr("sequence(first_seq, last_seq)")).alias("seq"))
+    lo = F.greatest(F.lit(0), F.col("seq") * PACK_CAP
+                    - F.col("start_offset"))
+    hi = F.least(F.col("n_tokens"),
+                 (F.col("seq") + 1) * PACK_CAP - F.col("start_offset"))
+    parts = ex.select(
+        "seq", "start_offset",
+        F.slice("toks", (lo + 1).cast("int"),
+                (hi - lo).cast("int")).alias("part"),
+        (hi - lo).cast("long").alias("k"))
+    stitched = F.array_join(
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("start_offset").alias("s"),
+                F.col("part").alias("p")))),
+            lambda x: x["p"])), " ")
+    return (
+        parts.groupBy("seq")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("k").alias("n_tokens"),
+            F.md5(stitched).alias("payload_md5"))
+        .select(F.col("seq").alias("seq_id"), "n_docs", "n_tokens",
+                "payload_md5")
+    )
+
+
+TX_PACK_PAYLOADS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_offset
+  FROM t),
+ex AS (
+  SELECT doc_id, toks, n, start_offset, s.s AS seq,
+         greatest(0, s.s * {PACK_CAP} - start_offset) AS lo,
+         least(n, (s.s + 1) * {PACK_CAP} - start_offset) AS hi
+  FROM c, LATERAL (SELECT unnest(range(start_offset // {PACK_CAP},
+                   (start_offset + n - 1) // {PACK_CAP} + 1)) AS s) s
+  WHERE n >= 1)
+SELECT seq AS seq_id, count(*) AS n_docs,
+       CAST(SUM(hi - lo) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(toks[lo + 1 : hi], ' '), ' '
+                      ORDER BY start_offset)) AS payload_md5
+FROM ex
+GROUP BY seq
+"""
 
 
 TX_PACK_SQL = rf"""
@@ -1641,6 +1725,7 @@ FROM canon2
 
 QUERIES = {
     "tx_pack_sequences": (tx_pack_sequences, TX_PACK_SQL),
+    "tx_pack_payloads": (tx_pack_payloads, TX_PACK_PAYLOADS_SQL),
     "dd_url_canonical": (dd_url_canonical, DD_URL_CANONICAL_SQL),
     "tx_chunk_windows": (tx_chunk_windows, TX_CHUNK_SQL),
     "dd_exact": (dd_exact, DD_EXACT_SQL),
