@@ -70,9 +70,41 @@ def _registry() -> dict[str, tuple]:
     # CORRECTNESS_r*.json results and emit never-verified queries
     # first, then oldest-verified — every query is re-verified at
     # least every ceil(N/cap) rounds, deterministically.
+    # Change-awareness: a verification older than the query's
+    # fingerprint round (QUERY_FPRINTS.json — md5 of source + oracle,
+    # maintained by tools/update_fprints.py and pinned current by
+    # tests/test_fprints_current.py) doesn't count — an EDITED query
+    # re-enters the window immediately instead of waiting out the
+    # rotation on a green-but-stale check of its old semantics.
     last_seen = _last_verified_round()
-    order = sorted(merged, key=lambda n: (last_seen.get(n, -1), n))
+    fp_round = _fingerprint_rounds()
+    def key(n):
+        seen = last_seen.get(n, -1)
+        if seen < fp_round.get(n, 0):
+            seen = -1
+        return (seen, n)
+    order = sorted(merged, key=key)
     return {n: merged[n] for n in order}
+
+
+def _fingerprint_rounds() -> dict[str, int]:
+    """query name → round in which its current fingerprint first
+    became current (0 / missing file degrades to no constraint)."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent / "QUERY_FPRINTS.json"
+    try:
+        data = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(data, dict):
+        return {}
+    return {
+        name: row["round"]
+        for name, row in data.items()
+        if isinstance(row, dict) and isinstance(row.get("round"), int)
+    }
 
 
 def _last_verified_round() -> dict[str, int]:
