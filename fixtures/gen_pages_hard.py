@@ -43,6 +43,10 @@ byte-parity evidence beyond the clean fixture families:
   truncation artifacts (hard truncation / lost chunk / leaked
   chunk-size line at arbitrary byte cuts — incl. mid multi-byte
   UTF-8 sequences)
+- meta-refresh redirect / canonical-link soup (URL attrs never leak),
+  visually-hidden text (display:none / sr-only — neither kernel
+  parses CSS, text flows; parity pins the shared rule), hostile
+  colspan/rowspan values (integer overflow, negative, junk, empty)
 
 Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
 byte-equality) — pure Python, no Spark session needed.
@@ -388,6 +392,56 @@ def _nested_marked(rng: random.Random) -> str:
     return f"<p>{_prose(rng, rng.randint(2, 8))} {frag}</p>"
 
 
+def _meta_refresh(rng: random.Random) -> str:
+    """Meta-refresh redirects (and friends): void <meta> tags whose
+    content attribute carries a URL — common on parked/moved pages.
+    The URL bytes must never leak into extracted text, and the void
+    tag must not desync the block structure."""
+    url = f"https://moved.example/{rng.choice(_WORDS)}"
+    variant = rng.randrange(3)
+    if variant == 0:
+        m = f'<meta http-equiv="refresh" content="0;url={url}">'
+    elif variant == 1:  # uppercase + weird spacing + no quotes
+        m = f"<META HTTP-EQUIV=Refresh CONTENT='5; URL = {url}'>"
+    else:  # canonical/og soup alongside
+        m = (f'<link rel="canonical" href="{url}">'
+             f'<meta property="og:url" content="{url}">')
+    return f"{m}<p>{_prose(rng, rng.randint(4, 14))}</p>"
+
+
+def _hidden_style(rng: random.Random) -> str:
+    """Visually-hidden text: display:none / visibility:hidden inline
+    styles and sr-only-ish classes. NEITHER kernel parses CSS, so the
+    text flows through extraction — parity pins that shared rule (a
+    kernel that started honoring display:none would silently change
+    bytes)."""
+    hidden = rng.choice([
+        '<div style="display:none">',
+        '<span style="visibility:hidden; position:absolute">',
+        '<div style = "DISPLAY:NONE ">',
+        '<p class="sr-only visually-hidden">',
+    ])
+    close = {"<d": "</div>", "<s": "</span>", "<p": "</p>"}[hidden[:2]]
+    return (f"<p>{_prose(rng, rng.randint(3, 10))}</p>"
+            f"{hidden}{_prose(rng, rng.randint(2, 8))}{close}"
+            f"<p>{_prose(rng, rng.randint(3, 10))}</p>")
+
+
+def _colspan_overflow(rng: random.Random) -> str:
+    """Hostile table attributes: colspan/rowspan values that overflow
+    machine integers, are negative, or are plain junk. Attribute
+    parsing must not crash and the grid must come out the same from
+    both kernels."""
+    span = rng.choice([
+        "999999999999999999999999", "-1", "2x", "1e9", "0", "",
+        str(1 << 70),
+    ])
+    w1, w2 = rng.choice(_WORDS), rng.choice(_WORDS)
+    return (f'<table border=1><tr><td colspan="{span}">{w1}</td>'
+            f'<td rowspan={span or chr(39)}>{rng.randint(1, 99)}</td></tr>'
+            f"<tr><td>{w2}</td><td>{rng.randint(1, 99)}</td></tr></table>")
+
+
 def _megaline(rng: random.Random) -> str:
     """One minified mega-paragraph: thousands of words, zero newlines.
     Stresses scanner buffering and any per-block windowing cap."""
@@ -402,7 +456,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(23)
+        kind = rng.randrange(26)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -450,6 +504,12 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_lang_dir_soup(rng))
         elif kind == 21:
             parts.append(_nested_marked(rng))
+        elif kind == 22:
+            parts.append(_meta_refresh(rng))
+        elif kind == 23:
+            parts.append(_hidden_style(rng))
+        elif kind == 24:
+            parts.append(_colspan_overflow(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
