@@ -77,3 +77,17 @@ def windowed_doc_counts(pages_stream: DataFrame) -> DataFrame:
         .groupBy(F.window("warc_ts", "1 hour"), "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def hopping_doc_counts(pages_stream: DataFrame) -> DataFrame:
+    """Watermarked HOPPING window (1 hour every 30 minutes) — the
+    exact window expression the batch `ev_hopping` operator uses, so
+    batch and stream agree on boundaries and multiplicity (each event
+    lands in size/hop = 2 overlapping windows).
+    tests/test_job_and_stream.py asserts stream output row-equals the
+    batch aggregation over the same staged files."""
+    return (
+        pages_stream.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "1 hour", "30 minutes"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -119,6 +119,45 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert total == 200
 
 
+def test_streaming_hopping_matches_batch(spark, tmp_path):
+    """Hopping windows under Structured Streaming must produce
+    EXACTLY the rows the batch aggregation produces on the same
+    files — same epoch-aligned boundaries, same 2x multiplicity
+    (size/hop overlapping windows per event)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_api_spark.streaming.stream import (
+        hopping_doc_counts,
+        read_pages_stream,
+    )
+
+    pages_dir = _stage_dir(tmp_path)
+    q = (
+        hopping_doc_counts(read_pages_stream(spark, pages_dir))
+        .writeStream.format("memory")
+        .queryName("hop_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream_rows = sorted(
+        (r["window"]["start"], r["lang"], r["n_docs"])
+        for r in spark.sql("SELECT * FROM hop_counts").collect())
+    batch_rows = sorted(
+        (r["window"]["start"], r["lang"], r["n_docs"])
+        for r in (
+            spark.read.parquet(pages_dir)
+            .groupBy(F.window("warc_ts", "1 hour", "30 minutes"),
+                     "lang")
+            .agg(F.count("*").alias("n_docs"))
+        ).collect())
+    assert stream_rows == batch_rows
+    # every doc counted exactly twice across the hopping windows
+    assert sum(n for _, _, n in stream_rows) == 2 * 200
+
+
 def test_streaming_late_data_dropped(spark, tmp_path):
     """Watermark semantics end-to-end in APPEND mode across a query
     restart: batch 1 advances the watermark past the first window's
