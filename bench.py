@@ -152,7 +152,9 @@ def _timed(fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def headline_queries(spark, sf_dir: str) -> dict[str, float]:
+def headline_queries(
+        spark, sf_dir: str,
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Representative per-operator-family headliners at sf_dir."""
     import __spark_entry__ as entrymod
 

@@ -87,8 +87,9 @@ def synth_wav(doc_id: int) -> tuple[str, bytes]:
     return kind, buf.getvalue()
 
 
-def decode_wav(blob: bytes):
-    """WAV bytes → (float64 array in [-1, 1], sample_rate)."""
+def decode_wav_pcm(blob: bytes):
+    """WAV bytes → (raw int16 PCM array, sample_rate). The integer
+    view exists so energy checks can use EXACT int64 arithmetic."""
     import numpy as np
 
     with wave.open(io.BytesIO(blob), "rb") as w:
@@ -96,6 +97,14 @@ def decode_wav(blob: bytes):
             raise ValueError("only 16-bit mono PCM supported")
         rate = w.getframerate()
         pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return pcm, rate
+
+
+def decode_wav(blob: bytes):
+    """WAV bytes → (float64 array in [-1, 1], sample_rate)."""
+    import numpy as np
+
+    pcm, rate = decode_wav_pcm(blob)
     return pcm.astype(np.float64) / 32767.0, rate
 
 
@@ -134,7 +143,7 @@ _FEAT_SCHEMA = StructType([
     StructField("audio_kind", StringType()),
     StructField("sample_rate", IntegerType()),
     StructField("duration_s", DoubleType()),
-    StructField("rms", DoubleType()),
+    StructField("sum_sq", LongType()),
     StructField("peak", DoubleType()),
     StructField("zcr", DoubleType()),
 ])
@@ -176,15 +185,24 @@ def mm_audio_features(spark, sf):
     synthesis path is SQL-reproducible (sin via the same libm,
     noise via the int64 LCG in `_lcg_uniform`), so the oracle
     re-synthesizes the int16 PCM per sample with generate-series
-    arithmetic and recomputes rms/peak/zcr through a completely
-    independent code path — a quantization, header, or channel bug in
-    the WAV round-trip breaks the hash match. The FFT-derived columns
-    (centroid, dominant bin) moved to `mm_audio_spectral`: a DFT is
-    O(n^2) in set-based SQL, so keeping them here would have forced
-    the whole query to stay rows-only forever."""
+    arithmetic and recomputes the energy/peak/zcr columns through a
+    completely independent code path — a quantization, header, or
+    channel bug in the WAV round-trip breaks the hash match. The
+    signal energy is reported as `sum_sq`, the EXACT int64 sum of
+    squared int16 PCM samples (max ~3e12 for the longest clip — no
+    overflow), rather than a rounded float rms: float rms depends on
+    summation order (numpy pairwise vs DuckDB sequential, ~1e-15
+    relative wobble) and a value landing on a rounding boundary would
+    flake the driver hash; the integer sum is summation-order-proof.
+    rms itself stays available via `audio_features` for pytest value
+    checks. The FFT-derived columns (centroid, dominant bin) moved to
+    `mm_audio_spectral`: a DFT is O(n^2) in set-based SQL, so keeping
+    them here would have forced the whole query to stay rows-only
+    forever."""
     wavs = audio_payloads(spark, sf)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -192,12 +210,15 @@ def mm_audio_features(spark, sf):
             for doc_id, kind, blob in zip(
                     pdf["doc_id"].values, pdf["audio_kind"].values,
                     pdf["wav"].values):
-                x, rate = decode_wav(bytes(blob))
+                pcm, rate = decode_wav_pcm(bytes(blob))
+                x = pcm.astype(np.float64) / 32767.0
                 f = audio_features(x, rate)
+                p64 = pcm.astype(np.int64)
                 rows.append({"doc_id": int(doc_id), "audio_kind": kind,
                              "sample_rate": rate,
                              "duration_s": f["duration_s"],
-                             "rms": f["rms"], "peak": f["peak"],
+                             "sum_sq": int((p64 * p64).sum()),
+                             "peak": f["peak"],
                              "zcr": f["zcr"]})
             yield pd.DataFrame(rows)
 
@@ -267,11 +288,12 @@ def mm_audio_dims(spark, sf):
 # PCM stream per (doc_id, sample) with the same IEEE double ops as
 # synth_wav (same parenthesization — (2*pi*freq)*(i/8000.0) — so both
 # sides round identically; sin resolves to the same host libm), then
-# recompute rms/peak/zcr set-wise. trunc() mirrors astype('<i2')'s
+# recompute sum_sq/peak/zcr set-wise. trunc() mirrors astype('<i2')'s
 # toward-zero truncation; the LCG noise branch is exact BIGINT
-# arithmetic. Float caveat: rms's summation order differs (numpy
-# pairwise vs DuckDB sequential) — a ~1e-15 relative wobble collapsed
-# by the 6-dp round on both sides.
+# arithmetic. The energy column is SUM(p*p) as exact BIGINT — no
+# float summation anywhere, so the check is summation-order-proof
+# (the old rounded-sqrt rms could flake if a value landed within the
+# ~1e-15 pairwise-vs-sequential wobble of a rounding boundary).
 MM_AUDIO_FEATS_SQL = f"""
 WITH docs AS (
   SELECT doc_id,
@@ -301,7 +323,7 @@ lagged AS (
   FROM pcm)
 SELECT doc_id, audio_kind, {_RATE} AS sample_rate,
        round(n / {_RATE}.0, 6) AS duration_s,
-       round(sqrt(avg((p / 32767.0) * (p / 32767.0))), 6) AS rms,
+       CAST(SUM(p * p) AS BIGINT) AS sum_sq,
        round(max(abs(p)) / 32767.0, 6) AS peak,
        round(CAST(SUM(CASE WHEN prev IS NOT NULL
                             AND ((p < 0) <> (prev < 0))

@@ -1035,8 +1035,14 @@ def tx_mix_rebalance(spark, sf):
             .alias("raw_rate"),
         )
     )
+    # Guard both NULL (empty input) and 0.0 (no lang overlaps the
+    # target mix): the pre-r4 driver-side code was `max_rate or 1.0`,
+    # so 0.0 must also fall back to 1.0 or the division below would
+    # produce 0.0/0.0 = NaN rates.
+    raw_max = F.max("raw_rate")
     maxr = rated.agg(
-        F.coalesce(F.max("raw_rate"), F.lit(1.0)).alias("max_rate"))
+        F.when(raw_max > 0, raw_max).otherwise(F.lit(1.0))
+        .alias("max_rate"))
     rates = (
         rated.join(F.broadcast(maxr))
         .select(
@@ -1552,14 +1558,14 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS start_offset
+           AS BIGINT) AS start_offset
   FROM t)
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start_offset,
-       start_offset // {PACK_CAP} AS first_seq,
-       (start_offset + greatest(n_tokens, 1) - 1) // {PACK_CAP}
-         AS last_seq
+       CAST(start_offset // {PACK_CAP} AS BIGINT) AS first_seq,
+       CAST((start_offset + greatest(n_tokens, 1) - 1) // {PACK_CAP}
+         AS BIGINT) AS last_seq
 FROM c
 """
 

@@ -90,6 +90,19 @@ def main(only: list[str]) -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
+            # The DRIVER hashes through pandas, where HUGEINT →
+            # float64 ("0" vs "0.0") — but fetchall() below converts
+            # HUGEINT to Python int, so without this check the local
+            # gate passes a query the driver fails (round-4
+            # tx_pack_sequences). Reject the type outright.
+            huge = [c for c, t in zip(d_cols, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                fails.append((name, f"HUGEINT output cols {huge}"))
+                print(f"FAIL {name}: oracle emits HUGEINT {huge} — "
+                      f"driver pandas hasher coerces to float64; "
+                      f"CAST(... AS BIGINT)")
+                continue
             d_rows = rel.fetchall()
         except Exception as exc:
             fails.append((name, f"DUCKDB ERROR {type(exc).__name__}: {exc}"))
