@@ -57,12 +57,15 @@ def _registry() -> dict[str, tuple]:
     from pdf_extraction_api_spark.sources.binaryfiles import (
         QUERIES as BIN_QUERIES,
     )
+    from pdf_extraction_api_spark.operators.curation import (
+        QUERIES as CURATION_QUERIES,
+    )
 
     merged: dict[str, tuple] = {}
     for group in (REL_QUERIES, SCALAR_QUERIES, TEXT_QUERIES, VEC_QUERIES,
                   MM_QUERIES, IMG_QUERIES, AUDIO_QUERIES,
                   VIDEO_QUERIES, GROUPED_QUERIES, KERNEL_QUERIES,
-                  BIN_QUERIES):
+                  BIN_QUERIES, CURATION_QUERIES):
         merged.update(group)
     # Emission order matters: the driver gate verifies a capped prefix
     # (50 rows/round), so a fixed order would leave the tail unverified

@@ -1,0 +1,384 @@
+"""Corpus-curation operators — round-5 additions to the training-data
+pipeline family (SURVEY.md "beyond §2" ops, same first-class treatment:
+full DuckDB oracle + scale-safe plan each).
+
+- dd_domain_cap       — per-domain frequency capping (C4/RefinedWeb
+                        style): keep the top-K docs per host, two-phase
+                        salted top-K so a mega-domain never forces a
+                        single-partition sort.
+- tx_top_ngram_frac   — Gopher's top-n-gram character-fraction rule
+                        (Rae et al. 2021 §A1.1): fraction of characters
+                        covered by the single most frequent word
+                        2-gram; complements tx_gopher_quality's
+                        duplicate-trigram fraction.
+- tx_stratified_sample— EXACT per-stratum deterministic sampling
+                        (ceil(n/DEN) smallest-hash docs per lang) via
+                        the same two-level prefix-sum rank as
+                        tx_pack_sequences — no per-stratum global sort.
+- dd_semdedup         — SemDeDup (Abbas et al. 2023, public): k-means
+                        cells → within-cell candidate pairs (capped +
+                        salted) → exact-cosine threshold → drop list
+                        with lowest-id exemplar.
+- tx_ngram_novelty    — per-doc fraction of its distinct shingles first
+                        seen in THIS doc (vs any earlier doc) — the
+                        contribution/novelty score used for data
+                        pruning and curriculum ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .relational import T
+from .textops import _shingles, _SHINGLES_SQL, salted_bucket_pairs
+from .vectorops import (
+    _KM_COS,
+    _cosine,
+    _dim_of,
+    _with_norm,
+    EMBED_BUCKET_CAP,
+    KMEANS_FINAL_CTES,
+    kmeans_cells,
+)
+
+DOMAIN_CAP = 10     # max docs kept per domain
+DOMAIN_SHARDS = 4   # phase-1 salt width for the two-phase top-K
+SAMPLE_DEN = 5      # stratified sample keeps ceil(n_lang/5) per lang
+SAMPLE_BUCKETS = 16 # rank prefix-sum buckets per stratum
+SEM_TAU = 0.25      # SemDeDup cosine threshold (p99 of within-cell
+                    # pairs on the synthetic embeddings — see tests)
+
+
+def dd_domain_cap(spark, sf):
+    """Per-domain frequency capping — the C4/RefinedWeb crawl-balance
+    step: a handful of hosts dominate any web crawl, so keep at most
+    DOMAIN_CAP documents per registered domain, preferring longer
+    documents (n_chars DESC, doc_id ASC tie-break). Hosts are
+    synthesized deterministically (domain d owns doc_ids in
+    [d^2, (d+1)^2) — floor(sqrt) gives naturally growing, skewed
+    domain sizes, the exact pathology the cap exists for).
+
+    Scale shape: top-K per key WITHOUT a per-domain global sort. A
+    plain Window.partitionBy(domain) puts a mega-domain's entire
+    population in one task; instead (1) salt each doc into
+    DOMAIN_SHARDS shards by id hash and rank within (domain, shard) —
+    parallel, bounded; (2) re-rank only the ≤ SHARDS×CAP phase-1
+    survivors per domain. The global top-K is always contained in the
+    union of shard top-Ks, so the result is identical to the naive
+    window (which is what the oracle runs)."""
+    d = T(spark, sf, "documents")
+    domain = F.concat(
+        F.lit("host"),
+        F.floor(F.sqrt(F.col("doc_id"))).cast("long").cast("string"),
+        F.lit(".example.com"))
+    base = d.select("doc_id", "n_chars", domain.alias("domain"))
+    counts = base.groupBy("domain").agg(F.count("*").alias("n_domain"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long") % DOMAIN_SHARDS)
+    w_local = Window.partitionBy("domain", "shard").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    survivors = (
+        base.withColumn("shard", shard)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= DOMAIN_CAP)
+    )
+    w_global = Window.partitionBy("domain").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= DOMAIN_CAP)
+        .join(F.broadcast(counts), "domain")
+        .select("domain", "doc_id", "n_chars", "rank", "n_domain")
+    )
+
+
+DD_DOMAIN_CAP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         'host' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR)
+           || '.example.com' AS domain
+  FROM documents),
+counts AS (SELECT domain, count(*) AS n_domain FROM base GROUP BY domain)
+SELECT r.domain, r.doc_id, r.n_chars, r.rank, c.n_domain
+FROM (SELECT domain, doc_id, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS rank
+      FROM base) r
+JOIN counts c USING (domain)
+WHERE r.rank <= {DOMAIN_CAP}
+"""
+
+
+def tx_top_ngram_frac(spark, sf):
+    """Gopher top-n-gram rule (Rae et al. 2021 §A1.1, n=2): the
+    fraction of a document's characters covered by occurrences of its
+    single most frequent word 2-gram (count × len(gram) / chars of the
+    space-joined token stream). High values mark degenerate repetition
+    ("click here click here …") that the duplicate-TRIGRAM fraction in
+    tx_gopher_quality under-weights. Tie-break: highest count, then
+    lexicographically smallest gram.
+
+    Plan: posexplode-free bigram generation (sequence + element_at,
+    all JVM HOFs) → one map-side-combinable (doc, gram) count → a
+    per-doc window over the doc's own gram counts (bounded by doc
+    length — never a corpus-wide sort) → broadcast-scale join back to
+    per-doc totals. Docs with < 2 tokens report ('', 0, 0.0)."""
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toked = d.select("doc_id", toks.alias("toks"))
+    totals = toked.select(
+        "doc_id",
+        F.length(F.concat_ws(" ", "toks")).alias("chars"),
+        F.size("toks").alias("n_toks"))
+    bi = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)))
+    grams = (
+        toked.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bi).alias("gram"))
+        .groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("gram"))
+    top = (grams.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == 1))
+    return (
+        totals.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("gram", F.lit("")).alias("top_gram"),
+            F.coalesce("n", F.lit(0)).alias("top_n"),
+            F.when(
+                F.col("gram").isNotNull(),
+                F.round(F.col("n") * F.length("gram")
+                        / F.col("chars").cast("double"), 6),
+            ).otherwise(F.lit(0.0)).alias("top_frac"),
+        )
+    )
+
+
+TX_TOP_NGRAM_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+totals AS (
+  SELECT doc_id, length(array_to_string(toks, ' ')) AS chars
+  FROM toked),
+grams AS (
+  SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS gram,
+         count(*) AS n
+  FROM toked, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) t
+  WHERE len(toks) >= 2
+  GROUP BY doc_id, gram),
+top AS (
+  SELECT doc_id, gram, n FROM (
+    SELECT doc_id, gram, n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, gram ASC) AS rk
+    FROM grams)
+  WHERE rk = 1)
+SELECT t.doc_id,
+       coalesce(g.gram, '') AS top_gram,
+       CAST(coalesce(g.n, 0) AS BIGINT) AS top_n,
+       CAST(CASE WHEN g.gram IS NOT NULL
+            THEN round(g.n * length(g.gram) / CAST(t.chars AS DOUBLE), 6)
+            ELSE 0.0 END AS DOUBLE) AS top_frac
+FROM totals t LEFT JOIN top g USING (doc_id)
+"""
+
+
+def tx_stratified_sample(spark, sf):
+    """EXACT-count stratified sampling: per lang, keep precisely
+    ceil(n_lang / SAMPLE_DEN) documents — the ones with the smallest
+    md5(doc_id) — fully deterministic and engine-reproducible. The
+    probabilistic cousin (tx_hash_sample) gives each doc an
+    independent keep decision and only approximates the stratum size;
+    this operator is the version used when the mixture recipe demands
+    exact per-stratum counts.
+
+    Scale shape: an exact per-stratum rank normally means a global
+    sort per stratum (Window.partitionBy(lang).orderBy(h) puts the
+    whole stratum in one task). Instead, the tx_pack_sequences
+    two-level prefix sum computes the EXACT rank distributively:
+    bucket docs by a hash prefix (SAMPLE_BUCKETS per lang), rank
+    within (lang, bucket) in parallel, cumsum the tiny per-bucket
+    count table, and add the bucket base back via broadcast join.
+    Because the bucket key is a prefix of the sort key, bucket-ordered
+    concatenation == the global order. ceil is integer arithmetic
+    ((n + DEN - 1) // DEN) — no float literal (DuckDB DECIMAL trap)."""
+    d = T(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        "doc_id", "lang", h.alias("h"),
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long").alias("bucket"))
+    bucket_n = base.groupBy("lang", "bucket").agg(
+        F.count("*").alias("bn"))
+    w_cum = (Window.partitionBy("lang").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    bases = bucket_n.select(
+        "lang", "bucket",
+        F.coalesce(F.sum("bn").over(w_cum), F.lit(0)).alias("base"))
+    n_lang = bucket_n.groupBy("lang").agg(F.sum("bn").alias("n_lang"))
+    n_keep = (F.col("n_lang") + (SAMPLE_DEN - 1)).cast("long") \
+        / F.lit(SAMPLE_DEN)
+    w_local = Window.partitionBy("lang", "bucket").orderBy(
+        "h", "doc_id")
+    return (
+        base.withColumn("lrk", F.row_number().over(w_local))
+        .join(F.broadcast(bases), ["lang", "bucket"])
+        .join(F.broadcast(n_lang), "lang")
+        .select(
+            "lang", "doc_id",
+            (F.col("base") + F.col("lrk")).alias("rnk"),
+            "n_lang",
+            F.floor(n_keep).cast("long").alias("n_keep"),
+        )
+        .filter(F.col("rnk") <= F.col("n_keep"))
+    )
+
+
+TX_STRATIFIED_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents)
+SELECT lang, doc_id, rnk, n_lang,
+       CAST((n_lang + {SAMPLE_DEN - 1}) // {SAMPLE_DEN} AS BIGINT)
+         AS n_keep
+FROM ranked
+WHERE rnk <= (n_lang + {SAMPLE_DEN - 1}) // {SAMPLE_DEN}
+"""
+
+
+def dd_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication in
+    embedding space — cluster with k-means, then inside each cluster
+    drop every vector whose cosine to a LOWER-id cluster-mate exceeds
+    SEM_TAU (the lowest such mate is reported as the kept exemplar).
+    Unlike dd_embed_lsh's geometry hash, the cluster stage reuses the
+    learned k-means cells (vectorops.kmeans_cells — the same seeded
+    2-iteration Lloyd that backs ann_ivf_kmeans, so the oracle reuses
+    its unrolled CTEs verbatim).
+
+    Scale shape: candidate pairs come from salted_bucket_pairs over
+    the cell id — within-cell pair generation is capped per shard, so
+    a mega-cell shards instead of quadratically exploding (at real
+    scale k grows ∝ sqrt(N) precisely to keep cells bounded; the salt
+    is the safety net, and at the oracle's sf no cell exceeds the cap
+    so results equal the exact within-cell join). Exact cosine runs
+    only on candidates."""
+    e = T(spark, sf, "embeddings")
+    dim = _dim_of(e)
+    final, _cent = kmeans_cells(e, dim)
+    cand = salted_bucket_pairs(
+        final.select("m_cell", "m_id"), "m_cell", "m_id",
+        EMBED_BUCKET_CAP)
+    a = _with_norm(e, "embedding", "q").select(
+        F.col("q_id").alias("doc_a"), "q_v", "q_norm")
+    b = _with_norm(e, "embedding", "c").select(
+        F.col("c_id").alias("doc_b"), "c_v", "c_norm")
+    hits = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            # salted key is "cell#shard" — recover the cell id
+            F.split("key", "#").getItem(0).cast("long").alias("cell"),
+            "doc_a", "doc_b",
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_TAU)
+    )
+    return (
+        hits.groupBy("doc_b", "cell")
+        .agg(
+            F.min("doc_a").alias("dup_of"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
+        .select(F.col("doc_b").alias("vec_id"), "cell", "dup_of",
+                "max_cos")
+    )
+
+
+# the reported max_cos must be bit-identical to Spark's (a max over
+# many pairs WILL land on 4-dp rounding boundaries): cast the FLOAT[]
+# embeddings to DOUBLE[] BEFORE the dot product, mirroring Spark's
+# per-element .cast("double") sequential fold — list_dot_product over
+# raw FLOAT[] accumulates differently and flipped a boundary at sf0.01
+_SEM_COS = _KM_COS.format(a="a.ve", b="b.ve")
+
+DD_SEMDEDUP_SQL = f"""
+WITH {KMEANS_FINAL_CTES},
+fd AS (
+  SELECT vec_id, cell, CAST(embedding AS DOUBLE[]) AS ve FROM final),
+hits AS (
+  SELECT a.cell AS cell, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         {_SEM_COS} AS cos
+  FROM fd a JOIN fd b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_SEM_COS} >= {SEM_TAU})
+SELECT doc_b AS vec_id, cell, min(doc_a) AS dup_of,
+       CAST(round(max(cos), 4) AS DOUBLE) AS max_cos
+FROM hits
+GROUP BY doc_b, cell
+"""
+
+
+def tx_ngram_novelty(spark, sf):
+    """Per-document n-gram novelty — the contribution score used for
+    data pruning / curriculum ordering: the fraction of a document's
+    DISTINCT shingles whose corpus-wide first occurrence (min doc_id)
+    is this document. Boilerplate-heavy late crawls score near 0,
+    genuinely new text near 1. Reuses the shared _shingles relation
+    (same tokenization as the MinHash family).
+
+    Plan: one map-side-combinable min(doc_id) per shingle, join back
+    on the shingle key (the grouping Exchange is reusable), one
+    per-doc avg — two shuffles total; every aggregate partial."""
+    sh = _shingles(spark, sf)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).alias("n_first"),
+        )
+        # int/int division → one IEEE double op, identical in DuckDB
+        # (safer than avg() whose DECIMAL-input typing differs)
+        .withColumn("novelty",
+                    F.round(F.col("n_first") / F.col("n_grams"), 6))
+    )
+
+
+TX_NOVELTY_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+firsts AS (
+  SELECT shingle, min(doc_id) AS first_doc
+  FROM shingles GROUP BY shingle)
+SELECT doc_id, n_grams, n_first,
+       CAST(round(n_first / CAST(n_grams AS DOUBLE), 6) AS DOUBLE)
+         AS novelty
+FROM (
+  SELECT s.doc_id, count(*) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_first
+  FROM shingles s JOIN firsts f USING (shingle)
+  GROUP BY s.doc_id)
+"""
+
+
+QUERIES = {
+    "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),
+    "tx_top_ngram_frac": (tx_top_ngram_frac, TX_TOP_NGRAM_SQL),
+    "tx_stratified_sample": (tx_stratified_sample, TX_STRATIFIED_SQL),
+    "dd_semdedup": (dd_semdedup, DD_SEMDEDUP_SQL),
+    "tx_ngram_novelty": (tx_ngram_novelty, TX_NOVELTY_SQL),
+}

@@ -343,21 +343,13 @@ WHERE rank <= {K}
 N_KMEANS_ITERS = 2  # Lloyd iterations (fixed + unrolled in the oracle)
 
 
-def ann_ivf_kmeans(spark, sf):
-    """IVF with k-means-LEARNED centroids (round-2 verdict ask #5):
-    label means seed k deterministic Lloyd iterations — assign every
-    vector to its nearest centroid by cosine (ties → lowest id),
-    recompute per-dim means — then probe exactly like ann_ivf_probe
-    but against the learned cells. Fully deterministic (seeded init,
-    fixed iteration count, total-order tie-breaks), so the DuckDB
-    oracle unrolls the same two iterations in SQL.
-
-    Scale shape: each iteration is one broadcast-assign (the centroid
-    table is k rows) + one map-side-combinable per-dim avg — no
-    iteration-over-collect, no cross join; vectors shuffle only on
-    their assigned cell id."""
-    e = T(spark, sf, "embeddings")
-    dim = _dim_of(e)
+def kmeans_cells(e: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
+    """(vec_id → cell) FINAL assignment + learned centroids after
+    N_KMEANS_ITERS seeded Lloyd iterations — the shared clustering
+    core of ann_ivf_kmeans (IVF index build) and curation.dd_semdedup
+    (the SemDeDup cluster stage). Deterministic: label-mean init,
+    fixed iteration count, (cos DESC, cell ASC) tie-break. Returns
+    (final(m_id, m_cell), cent(cell, cvec))."""
     base = _with_norm(e, "embedding", "c")  # c_id, c_v, c_norm
 
     def assign(cent: DataFrame) -> DataFrame:
@@ -386,6 +378,25 @@ def ann_ivf_kmeans(spark, sf):
         cent = _label_centroids(assigned, dim, key="cell", out="cell")
     final = assign(cent).select(
         F.col("c_id").alias("m_id"), F.col("cell").alias("m_cell"))
+    return final, cent
+
+
+def ann_ivf_kmeans(spark, sf):
+    """IVF with k-means-LEARNED centroids (round-2 verdict ask #5):
+    label means seed k deterministic Lloyd iterations — assign every
+    vector to its nearest centroid by cosine (ties → lowest id),
+    recompute per-dim means — then probe exactly like ann_ivf_probe
+    but against the learned cells. Fully deterministic (seeded init,
+    fixed iteration count, total-order tie-breaks), so the DuckDB
+    oracle unrolls the same two iterations in SQL.
+
+    Scale shape: each iteration is one broadcast-assign (the centroid
+    table is k rows) + one map-side-combinable per-dim avg — no
+    iteration-over-collect, no cross join; vectors shuffle only on
+    their assigned cell id."""
+    e = T(spark, sf, "embeddings")
+    dim = _dim_of(e)
+    final, cent = kmeans_cells(e, dim)
 
     q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
     cn = F.sqrt(F.aggregate(
@@ -422,14 +433,17 @@ def ann_ivf_kmeans(spark, sf):
     )
 
 
-def _kmeans_sql() -> str:
-    """The same seeded-init + 2-iteration Lloyd in unrolled SQL."""
-    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+# cosine template + Lloyd-unroll CTE builders at module level so
+# curation.dd_semdedup's oracle reuses the exact same clustering SQL
+# (the generated _kmeans_sql text is byte-identical to the pre-factor
+# version — fingerprint-stable).
+_KM_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
 
-    def assign_cte(name: str, cent: str) -> str:
-        c = cos.format(a="e.embedding", b="c.cvec")
-        return f"""{name} AS (
+
+def _km_assign_cte(name: str, cent: str) -> str:
+    c = _KM_COS.format(a="e.embedding", b="c.cvec")
+    return f"""{name} AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
@@ -437,8 +451,9 @@ def _kmeans_sql() -> str:
     FROM embeddings e, {cent} c)
   WHERE rk = 1)"""
 
-    def cent_cte(name: str, asg: str) -> str:
-        return f"""{name} AS (
+
+def _km_cent_cte(name: str, asg: str) -> str:
+    return f"""{name} AS (
   SELECT cell, list(m ORDER BY dim) AS cvec FROM (
     SELECT a.cell, t.pos AS dim,
            round(avg(CAST(a.embedding[t.pos + 1] AS DOUBLE)), 9) AS m
@@ -447,10 +462,10 @@ def _kmeans_sql() -> str:
     GROUP BY a.cell, t.pos)
   GROUP BY cell)"""
 
-    qcos = cos.format(a="q.qv", b="c.cvec")
-    scos = cos.format(a="p.qv", b="e.embedding")
-    return f"""
-WITH dims AS (
+
+# "dims AS (...), ..., final AS (...)" — final(vec_id, embedding,
+# cell) is the converged assignment, cent2 the learned centroids.
+KMEANS_FINAL_CTES = f"""dims AS (
   SELECT label, pos AS dim, CAST(embedding[pos + 1] AS DOUBLE) AS v
   FROM embeddings,
        LATERAL (SELECT unnest(range(len(embedding))) AS pos) t),
@@ -459,11 +474,19 @@ cent0 AS (
   FROM (SELECT label, dim, round(avg(v), 9) AS m
         FROM dims GROUP BY label, dim)
   GROUP BY label),
-{assign_cte("asg1", "cent0")},
-{cent_cte("cent1", "asg1")},
-{assign_cte("asg2", "cent1")},
-{cent_cte("cent2", "asg2")},
-{assign_cte("final", "cent2")},
+{_km_assign_cte("asg1", "cent0")},
+{_km_cent_cte("cent1", "asg1")},
+{_km_assign_cte("asg2", "cent1")},
+{_km_cent_cte("cent2", "asg2")},
+{_km_assign_cte("final", "cent2")}"""
+
+
+def _kmeans_sql() -> str:
+    """The same seeded-init + 2-iteration Lloyd in unrolled SQL."""
+    qcos = _KM_COS.format(a="q.qv", b="c.cvec")
+    scos = _KM_COS.format(a="p.qv", b="e.embedding")
+    return f"""
+WITH {KMEANS_FINAL_CTES},
 q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
       WHERE vec_id < {N_QUERIES}),
 probes AS (

@@ -1,0 +1,148 @@
+"""Value/property tests for the round-5 curation operators
+(operators/curation.py). Full cross-engine value verification is the
+DuckDB oracle gate; these pin the semantics that the oracle alone
+can't see (two-phase == naive equivalence on a mega-domain, exact
+stratum counts, SemDeDup drop invariants, novelty edge cases)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, "
+              "n_chars LONG")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_domain_cap_invariants(spark):
+    from pdf_extraction_api_spark.operators.curation import (
+        DOMAIN_CAP, dd_domain_cap)
+
+    rows = dd_domain_cap(spark, SF).collect()
+    assert rows
+    per_dom = {}
+    for r in rows:
+        assert 1 <= r["rank"] <= DOMAIN_CAP
+        assert int(math.isqrt(r["doc_id"])) == int(
+            r["domain"].removeprefix("host").removesuffix(".example.com"))
+        per_dom.setdefault(r["domain"], []).append(r)
+    for dom, kept in per_dom.items():
+        n_domain = kept[0]["n_domain"]
+        assert len(kept) == min(DOMAIN_CAP, n_domain), dom
+        ranks = sorted(r["rank"] for r in kept)
+        assert ranks == list(range(1, len(kept) + 1))
+
+
+def test_domain_cap_mega_domain_equals_naive(spark, tmp_path):
+    """One 200-doc domain (doc_ids 10000..10199 share isqrt=100):
+    the salted two-phase result must equal the naive global top-K."""
+    from pdf_extraction_api_spark.operators.curation import (
+        DOMAIN_CAP, dd_domain_cap)
+
+    rows = [(10000 + i, "t", "en", "s", (i * 37) % 500) for i in range(200)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {(r["doc_id"], r["rank"])
+           for r in dd_domain_cap(spark, sf).collect()}
+    naive = sorted(rows, key=lambda r: (-r[4], r[0]))[:DOMAIN_CAP]
+    want = {(r[0], i + 1) for i, r in enumerate(naive)}
+    assert got == want
+
+
+def test_top_ngram_frac_hand_values(spark, tmp_path):
+    from pdf_extraction_api_spark.operators.curation import (
+        tx_top_ngram_frac)
+
+    sf = _write_docs(spark, tmp_path, [
+        (0, "a b a b a", "en", "s", 9),     # "a b"x2 ties "b a"x2
+        (1, "word", "en", "s", 4),          # < 2 tokens
+        (2, "x x x x", "en", "s", 7),       # "x x"x3 of 7 chars
+    ])
+    got = {r["doc_id"]: r for r in tx_top_ngram_frac(spark, sf).collect()}
+    assert got[0]["top_gram"] == "a b" and got[0]["top_n"] == 2
+    assert got[0]["top_frac"] == pytest.approx(round(2 * 3 / 9, 6))
+    assert (got[1]["top_gram"], got[1]["top_n"], got[1]["top_frac"]) == \
+        ("", 0, 0.0)
+    assert got[2]["top_gram"] == "x x" and got[2]["top_n"] == 3
+    assert got[2]["top_frac"] == pytest.approx(round(3 * 3 / 7, 6))
+
+
+def test_stratified_sample_exact_counts_and_membership(spark):
+    """Per lang: exactly ceil(n/DEN) kept, and they are precisely the
+    smallest-md5 docs (recomputed independently in Python)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_api_spark.operators.curation import (
+        SAMPLE_DEN, tx_stratified_sample)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pylist()
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d["lang"], []).append(d["doc_id"])
+    want = {}
+    for lang, ids in by_lang.items():
+        k = -(-len(ids) // SAMPLE_DEN)
+        ordered = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want[lang] = set(ordered[:k])
+
+    out = tx_stratified_sample(spark, SF).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert r["n_keep"] == -(-r["n_lang"] // SAMPLE_DEN)
+        assert 1 <= r["rnk"] <= r["n_keep"]
+    assert got == want
+
+
+def test_semdedup_drop_invariants(spark):
+    """Every dropped vector names a LOWER-id exemplar in its own cell
+    with cosine >= tau (cosine re-verified in numpy for a sample)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_api_spark.operators.curation import (
+        SEM_TAU, dd_semdedup)
+
+    rows = dd_semdedup(spark, SF01).collect()
+    assert rows  # tau sits at ~p99 of within-cell pairs: non-trivial
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in pq.read_table(f"{SF01}/embeddings.parquet").to_pylist()}
+    for r in rows[:25]:
+        assert r["dup_of"] < r["vec_id"]
+        a, b = emb[r["dup_of"]], emb[r["vec_id"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        # dup_of is the MIN qualifying mate, max_cos the max over all
+        # qualifying mates — so the pair's own cos only needs the tau
+        assert cos >= SEM_TAU - 1e-9
+        assert r["max_cos"] >= SEM_TAU - 1e-9
+
+
+def test_ngram_novelty_edges(spark, tmp_path):
+    """First doc scores 1.0; an exact copy of it scores 0.0; a
+    half-overlapping doc lands strictly between."""
+    from pdf_extraction_api_spark.operators.curation import (
+        tx_ngram_novelty)
+
+    base = "q w e r t y u i"
+    sf = _write_docs(spark, tmp_path, [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),               # exact copy
+        (2, base + " z z q w", "en", "s", len(base) + 8),
+    ])
+    got = {r["doc_id"]: r for r in tx_ngram_novelty(spark, sf).collect()}
+    assert got[0]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0
+    assert 0.0 < got[2]["novelty"] < 1.0
+    for r in got.values():
+        assert 0 <= r["n_first"] <= r["n_grams"]
