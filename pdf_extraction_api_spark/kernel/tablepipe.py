@@ -29,19 +29,23 @@ _NUMERIC = re.compile(r"^-?\d+\.?\d*$")
 _NUMERIC_MATCH = _NUMERIC.match
 
 
-def _numeric_match(c: str):
-    """_NUMERIC.match(c.strip()) with a first-char prefilter: a match
-    must start with '-' or a \\d digit (isdigit() is a superset of
-    \\d's Nd category, so the prefilter never rejects a true match);
-    word cells skip both the strip and the regex machinery."""
-    ch = c[:1]
-    if ch != "-" and not ch.isdigit():
-        s = c.strip()
-        ch = s[:1]
-        if ch != "-" and not ch.isdigit():
-            return None
-        return _NUMERIC_MATCH(s)
-    return _NUMERIC_MATCH(c.strip())
+def _numeric_match(c: str) -> bool:
+    """Truthiness-equivalent of _NUMERIC.match(c.strip()) with no
+    regex machinery at all: the grammar ^-?\\d+\\.?\\d*$ is decided
+    with C-level str ops. str.isdecimal() is EXACTLY the \\d class
+    (Unicode category Nd) — str.isdigit() would be a superset (Nd∪No,
+    e.g. superscript two) and is deliberately not used. Both callers
+    (score_quality's header and column-type loops) consume the result
+    as a boolean only; equivalence vs the regex is pinned by
+    tests/test_kernel.py::test_numeric_match_equiv plus the golden
+    and fuzz parity suites."""
+    if c.isdecimal():          # all-digit cell: no strip, no parse
+        return True
+    s = c.strip()
+    if s[:1] == "-":
+        s = s[1:]
+    head, _dot, tail = s.partition(".")
+    return head.isdecimal() and (tail == "" or tail.isdecimal())
 
 _META = set(".^$*+?{}[]()|\\")
 

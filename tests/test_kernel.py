@@ -166,3 +166,27 @@ def test_determinism_same_input_same_bytes():
     a = [extract_document(r["url"], r["html"]) for r in rows]
     b = [extract_document(r["url"], r["html"]) for r in rows]
     assert a == b
+
+
+def test_numeric_match_equiv():
+    """_numeric_match's str-ops rewrite must agree in truthiness with
+    the reference regex ^-?\\d+\\.?\\d*$ on stripped input for every
+    cell shape, including the Nd-vs-No unicode digit distinction."""
+    import random
+    import string
+
+    from pdf_extraction_api_spark.kernel.tablepipe import (
+        _NUMERIC, _numeric_match)
+
+    explicit = [
+        "", " ", "-", ".", "-.", "--1", "1", "-1", "1.", "1.5", "-1.5",
+        ".5", "1.2.3", "1-2", " 12 ", "\t-3.14\n", "5..", "12a", "a12",
+        "1 2", "²", "½", "١٢", "١.٢",
+        "-١", "1²", "+1", "1e5", "nan", "inf", "0.0", "00.",
+    ]
+    rng = random.Random(5)
+    alphabet = string.digits + string.ascii_letters + "-.,$% \t١²"
+    fuzz = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(8)))
+            for _ in range(5000)]
+    for c in explicit + fuzz:
+        assert bool(_numeric_match(c)) == bool(_NUMERIC.match(c.strip())), c
