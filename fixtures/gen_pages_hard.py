@@ -47,6 +47,12 @@ byte-parity evidence beyond the clean fixture families:
   visually-hidden text (display:none / sr-only — neither kernel
   parses CSS, text flows; parity pins the shared rule), hostile
   colspan/rowspan values (integer overflow, negative, junk, empty)
+- table-structure elements (caption prose outside any cell, colgroup/
+  col incl. never-closed, thead/tbody/tfoot in odd-but-legal orders,
+  stray section closes), form-widget soup (<textarea> carrying
+  markup-lookalikes — NOT rawtext for either kernel, select/option
+  text flow, duplicate attributes → dict(attrs) last-wins pinned,
+  processing instructions, mid-document doctypes)
 
 Used by tests/test_hard_corpus_parity.py (engine ⇔ refkernel per-url
 byte-equality) — pure Python, no Spark session needed.
@@ -442,6 +448,58 @@ def _colspan_overflow(rng: random.Random) -> str:
             f"<tr><td>{w2}</td><td>{rng.randint(1, 99)}</td></tr></table>")
 
 
+def _table_sections(rng: random.Random) -> str:
+    """HTML table-structure elements the cell pipeline must ignore
+    gracefully: <caption> prose (no open cell → dropped by both
+    kernels), <colgroup>/<col> (incl. void-ish and never-closed),
+    <thead>/<tbody>/<tfoot> in legal-but-odd orders (tfoot before
+    tbody), stray section close tags, and a <th> header row inside
+    thead. The GRID must come out identical from both kernels."""
+    w = [rng.choice(_WORDS) for _ in range(6)]
+    cap = f"<caption>{_prose(rng, rng.randint(2, 8))}</caption>"
+    cols = rng.choice([
+        '<colgroup><col span="2"><col width="50%"></colgroup>',
+        "<colgroup span=3>", "<col><col>", ""])
+    tfoot = (f"<tfoot><tr><td>{w[4]}</td><td>{rng.randint(1, 99)}</td>"
+             f"</tr></tfoot>")
+    body = (f"<tbody><tr><td>{w[2]}</td><td>{rng.randint(1, 99)}</td>"
+            f"</tr><tr><td>{w[3]}</td><td>{rng.randint(1, 99)}</td>"
+            f"</tr>{'</tbody>' if rng.random() < 0.7 else ''}")
+    head = f"<thead><tr><th>{w[0]}</th><th>{w[1]}</th></tr></thead>"
+    order = rng.choice([
+        [cap, cols, head, tfoot, body],   # legal: tfoot before tbody
+        [cols, cap, head, body, tfoot],
+        [cap, head, body, "</tbody>", tfoot],  # stray close
+    ])
+    return ("<table border=1>" + "".join(order) + "</table>"
+            + rng.choice(["", "</tfoot>", "</colgroup>"]))
+
+
+def _widget_soup(rng: random.Random) -> str:
+    """Form-widget content + markup-lookalike traps: <textarea> is NOT
+    rawtext for either kernel (stdlib HTMLParser CDATA set is
+    script/style only), so table-ish markup inside it parses as real
+    tags; <select>/<option> text flows; duplicate attributes (both
+    kernels take dict(attrs) — LAST wins, pinned here); processing
+    instructions and mid-document doctype declarations are no-ops."""
+    w1, w2 = rng.choice(_WORDS), rng.choice(_WORDS)
+    dup_cls = rng.choice(_BOILER_CLASSES)
+    parts = [
+        f'<div class="content" class="{dup_cls}">'
+        f"<p>{_prose(rng, rng.randint(6, 18))}</p></div>",
+        f"<textarea rows=4>{w1} <td>{w2}</td> &lt;p&gt; "
+        f"</ textarea> {_prose(rng, 4)}</textarea>",
+        f"<form action=x><select multiple><option value=1>{w1}"
+        f"<option selected>{w2}</option></select>"
+        f"<input type=text value=\"{w1}\"></form>",
+        f'<?php echo "<table><tr><td>{w1}</td></tr></table>"; ?>',
+        "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01//EN\">",
+        f"<p>{_prose(rng, rng.randint(5, 15))}</p>",
+    ]
+    rng.shuffle(parts)
+    return "".join(parts[: rng.randint(3, len(parts))])
+
+
 def _megaline(rng: random.Random) -> str:
     """One minified mega-paragraph: thousands of words, zero newlines.
     Stresses scanner buffering and any per-block windowing cap."""
@@ -456,7 +514,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(26)
+        kind = rng.randrange(28)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -510,6 +568,10 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_hidden_style(rng))
         elif kind == 24:
             parts.append(_colspan_overflow(rng))
+        elif kind == 25:
+            parts.append(_table_sections(rng))
+        elif kind == 26:
+            parts.append(_widget_soup(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
