@@ -375,8 +375,69 @@ FROM (
 """
 
 
+def tx_ft_score(spark, sf):
+    """Model-based quality scoring, fastText-linear shape (the GPT-3 /
+    CCNet quality-classifier step): score a document as the mean of
+    per-token weights looked up by the HASHING TRICK — w(t) =
+    hash16(md5(t)) - 32768, an integer surrogate for trained weights
+    (no model ships in this sandbox; the docstring is explicit that
+    the weights are a deterministic stand-in — the PLAN is the
+    deliverable). score = Σ w(t) / (n · 32768) ∈ ~[-1, 1];
+    label = keep iff score > 0.
+
+    Plan: zero shuffles before the output — tokenize, transform to
+    int weights, F.aggregate sequential fold (exact BIGINT sum: |w| ≤
+    32768, so even 2^40 tokens stay inside int64), ONE double
+    division at the end. At 100 TB this is a pure map over the scan,
+    pushes down column pruning to (doc_id, text), and a trained
+    weight table would broadcast-join on the bucket id without
+    changing the shape."""
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    w = lambda t: (F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
+                   .cast("long") - 32768)
+    toked = d.select("doc_id", toks.alias("toks"))
+    raw = F.aggregate(
+        F.transform("toks", w), F.lit(0).cast("long"), lambda a, x: a + x)
+    return (
+        toked.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            raw.alias("raw_score"),
+            F.round(raw / (F.size("toks") * F.lit(32768)).cast("double"),
+                    6).alias("ft_score"),
+        )
+        .withColumn("ft_label",
+                    F.when(F.col("ft_score") > 0, "keep")
+                    .otherwise("drop"))
+    )
+
+
+TX_FT_SCORE_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+scored AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         CAST(list_sum(list_transform(toks,
+           t -> CAST('0x' || substring(md5(t), 1, 4) AS BIGINT)
+                - 32768)) AS BIGINT) AS raw_score
+  FROM toked
+  WHERE len(toks) > 0)
+SELECT doc_id, n_toks, raw_score,
+       CAST(round(raw_score / CAST(n_toks * 32768 AS DOUBLE), 6)
+            AS DOUBLE) AS ft_score,
+       CASE WHEN round(raw_score / CAST(n_toks * 32768 AS DOUBLE), 6)
+                 > 0 THEN 'keep' ELSE 'drop' END AS ft_label
+FROM scored
+"""
+
+
 QUERIES = {
     "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),
+    "tx_ft_score": (tx_ft_score, TX_FT_SCORE_SQL),
     "tx_top_ngram_frac": (tx_top_ngram_frac, TX_TOP_NGRAM_SQL),
     "tx_stratified_sample": (tx_stratified_sample, TX_STRATIFIED_SQL),
     "dd_semdedup": (dd_semdedup, DD_SEMDEDUP_SQL),

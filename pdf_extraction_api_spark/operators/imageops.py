@@ -649,8 +649,120 @@ FROM documents
 """
 
 
+_AHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("img_kind", StringType()),
+    StructField("ahash", StringType()),
+])
+
+
+def dd_image_ahash(spark, sf):
+    """Perceptual image dedup via average hash (aHash — the classic
+    first-pass image near-dup signature): decode the PNG, integer ITU
+    luma, split into an 8×8 block grid, bit j = block mean > global
+    mean, 64-bit signature; identical signatures form dedup buckets
+    (keeper = min doc_id). The synthetic corpus contains REAL exact
+    duplicates (table_image/diagram pixels depend only on (h, w), so
+    docs sharing the size cycle collide), which is what the bucket
+    counts verify.
+
+    EVERY comparison is exact integer: block_mean > global_mean is
+    evaluated as block_sum * total_n > total_sum * block_n (int64-safe
+    cross-multiplication — no float division anywhere, so the DuckDB
+    oracle rebuilds bit-identical signatures from the analytic pixel
+    model). Scale shape: Arrow-batched decode fan-out (id-repartition
+    first), then ONE hash agg on the 64-char signature — the dd_exact
+    plan with a decoded-feature key."""
+    imgs = image_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel import png as pngc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["img_kind"].values,
+                    pdf["png"].values):
+                arr = pngc.decode(bytes(blob))
+                if arr.ndim == 2:
+                    luma = arr.astype(np.int64)
+                else:
+                    r = arr[:, :, 0].astype(np.int64)
+                    g = arr[:, :, 1].astype(np.int64)
+                    b = arr[:, :, 2].astype(np.int64)
+                    luma = (r * 299 + g * 587 + b * 114) // 1000
+                h, w = luma.shape
+                ts, tn = int(luma.sum()), h * w
+                # block id per pixel: by = y*8//h (NOT the by*h//8
+                # slice boundaries — the two partitions differ when
+                # h % 8 != 0, e.g. h=10 puts y=2 in different blocks)
+                byi = (np.arange(h) * 8) // h
+                bxi = (np.arange(w) * 8) // w
+                bid = (byi[:, None] * 8 + bxi[None, :]).ravel()
+                bs = np.bincount(bid, weights=luma.ravel(),
+                                 minlength=64).astype(np.int64)
+                bn = np.bincount(bid, minlength=64)
+                bits = np.where(bs * tn > ts * bn, "1", "0")
+                rows.append({"doc_id": int(doc_id), "img_kind": kind,
+                             "ahash": "".join(bits)})
+            yield pd.DataFrame(rows)
+
+    sigs = imgs.mapInPandas(run, schema=_AHASH_SCHEMA)
+    return (
+        sigs.groupBy("ahash", "img_kind")
+        .agg(F.min("doc_id").alias("keeper_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+# aHash oracle: rebuild the luma plane analytically (the _GRAY_SQL
+# pixel model + the same integer ITU formula for RGB docs), block/
+# total sums as exact BIGINTs, bits via the same cross-multiplied
+# integer comparison, signature via ordered string_agg.
+DD_IMAGE_AHASH_SQL = f"""
+WITH docs AS ({_DOCS_CTE_SQL}),
+pixbase AS (
+  SELECT d.doc_id, d.img_kind, d.h, d.w, d.nch, yy.y, xx.x
+  FROM docs d,
+       LATERAL (SELECT unnest(range(d.h)) AS y) yy,
+       LATERAL (SELECT unnest(range(d.w)) AS x) xx),
+pix AS (
+  SELECT doc_id, img_kind, h, w, nch, y, x, {_GRAY_SQL} AS g
+  FROM pixbase),
+luma AS (
+  SELECT doc_id, img_kind, h, w, y, x,
+         CASE WHEN nch = 3 THEN
+           (g * 299
+            + CAST(trunc(g * 0.9::DOUBLE) AS BIGINT) * 587
+            + CAST(trunc(g * 0.7::DOUBLE) AS BIGINT) * 114) // 1000
+         ELSE g END AS l
+  FROM pix),
+blocks AS (
+  SELECT doc_id, img_kind, (y * 8) // h AS by, (x * 8) // w AS bx,
+         CAST(SUM(l) AS BIGINT) AS bs, count(*) AS bn
+  FROM luma GROUP BY doc_id, img_kind, (y * 8) // h, (x * 8) // w),
+totals AS (
+  SELECT doc_id, CAST(SUM(l) AS BIGINT) AS ts, count(*) AS tn
+  FROM luma GROUP BY doc_id),
+sigs AS (
+  SELECT b.doc_id, b.img_kind,
+         string_agg(CASE WHEN b.bs * t.tn > t.ts * b.bn
+                    THEN '1' ELSE '0' END, ''
+                    ORDER BY b.by, b.bx) AS ahash
+  FROM blocks b JOIN totals t USING (doc_id)
+  GROUP BY b.doc_id, b.img_kind)
+SELECT ahash, img_kind, min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM sigs GROUP BY ahash, img_kind
+"""
+
+
 QUERIES = {
     "mm_image_metrics": (mm_image_metrics, None),
     "mm_image_resize": (mm_image_resize, MM_RESIZE_SQL),
     "mm_image_dims": (mm_image_dims, MM_DIMS_SQL),
+    "dd_image_ahash": (dd_image_ahash, DD_IMAGE_AHASH_SQL),
 }

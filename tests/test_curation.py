@@ -146,3 +146,27 @@ def test_ngram_novelty_edges(spark, tmp_path):
     assert 0.0 < got[2]["novelty"] < 1.0
     for r in got.values():
         assert 0 <= r["n_first"] <= r["n_grams"]
+
+
+def test_ft_score_bounds_and_label(spark):
+    from pdf_extraction_api_spark.operators.curation import tx_ft_score
+
+    rows = tx_ft_score(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["ft_score"] <= 1.0
+        assert abs(r["raw_score"]) <= r["n_toks"] * 32768
+        assert r["ft_label"] == ("keep" if r["ft_score"] > 0 else "drop")
+
+
+def test_ft_score_hand_value(spark, tmp_path):
+    """One-token doc: score = (hash16(md5(tok)) - 32768) / 32768."""
+    import hashlib
+
+    from pdf_extraction_api_spark.operators.curation import tx_ft_score
+
+    sf = _write_docs(spark, tmp_path, [(0, "hello", "en", "s", 5)])
+    r = tx_ft_score(spark, sf).collect()[0]
+    w = int(hashlib.md5(b"hello").hexdigest()[:4], 16) - 32768
+    assert r["raw_score"] == w
+    assert r["ft_score"] == pytest.approx(round(w / 32768.0, 6))

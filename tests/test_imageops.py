@@ -138,3 +138,54 @@ def test_image_queries_deterministic_spark(spark):
     assert changed >= len(rows_a) * 0.6
     assert all(r.orig_md5 != r.enhanced_md5 for r in rows_a
                if r.changed == "true")
+
+
+def test_image_ahash_buckets(spark):
+    """aHash collapses the genuinely identical synthetic images
+    (table_image/diagram pixels depend only on (h, w)) and every
+    bucket's keeper is its minimum doc_id."""
+    from pdf_extraction_api_spark.operators.imageops import dd_image_ahash
+
+    rows = dd_image_ahash(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(len(r["ahash"]) == 64 and set(r["ahash"]) <= {"0", "1"}
+               for r in rows)
+    assert any(r["n_copies"] > 1 for r in rows)  # real dups collapse
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet").num_rows
+    # buckets partition the corpus (every doc lands in exactly one)
+    assert sum(r["n_copies"] for r in rows) == n_docs
+
+
+def test_image_ahash_matches_direct_numpy(spark):
+    """Signature recomputed independently from the generated array
+    (no PNG round-trip) must equal the operator's decoded-path hash."""
+    import numpy as np
+
+    from pdf_extraction_api_spark.operators.imageops import (
+        _gen_image, dd_image_ahash)
+
+    sigs = {}
+    for r in dd_image_ahash(spark, "/root/testdata/sf0.001").collect():
+        sigs.setdefault(r["ahash"], set())
+    # recompute for every doc and check membership in the bucket keys
+    for doc_id in range(50):
+        _, arr = _gen_image(doc_id)
+        if arr.ndim == 3:
+            a = arr.astype(np.int64)
+            luma = (a[:, :, 0] * 299 + a[:, :, 1] * 587
+                    + a[:, :, 2] * 114) // 1000
+        else:
+            luma = arr.astype(np.int64)
+        h, w = luma.shape
+        ts, tn = int(luma.sum()), h * w
+        byi = (np.arange(h) * 8) // h
+        bxi = (np.arange(w) * 8) // w
+        bid = (byi[:, None] * 8 + bxi[None, :]).ravel()
+        bs = np.bincount(bid, weights=luma.ravel(),
+                         minlength=64).astype(np.int64)
+        bn = np.bincount(bid, minlength=64)
+        sig = "".join(np.where(bs * tn > ts * bn, "1", "0"))
+        assert sig in sigs, doc_id
