@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .relational import T
-from .textops import _shingles, _SHINGLES_SQL, salted_bucket_pairs
+from .textops import (
+    _shingles,
+    _SHINGLES_SQL,
+    salted_bucket_pairs,
+    SEGMENT_N,
+)
 from .vectorops import (
     _KM_COS,
     _cosine,
@@ -435,9 +440,204 @@ FROM scored
 """
 
 
+SCRUB_MIN_DOCS = 2  # segment appears in >= this many docs → boilerplate
+
+
+def tx_segment_scrub(spark, sf):
+    """Boilerplate span SCRUBBING — the transformer counterpart of
+    dd_common_segments' report (RefinedWeb's repeated-line removal,
+    C4's repeated-span rule, over the same disjoint 8-token segments):
+    every segment occurring in ≥ SCRUB_MIN_DOCS distinct documents is
+    removed from all but its first (min doc_id) document, and the
+    document text is rebuilt from the surviving segments plus the
+    (<8-token) tail. Output is the rewritten corpus — clean_text — so
+    this op MOVES payload by design.
+
+    Scale shape: segment stats are one map-side-combinable hash agg
+    (shared shape with dd_common_segments); the verdict join is on
+    seg_hash (AQE picks broadcast while the repeated-segment table is
+    small — it is: only segments with n_docs ≥ 2 matter, so the build
+    side is pre-filtered); the rebuild is one groupBy(doc_id) with an
+    array_sort on (position, text) structs — deterministic, no Window
+    over payloads. Two payload-moving shuffles, the minimum for a
+    rewriter whose OUTPUT is the text (same argument as
+    tx_pack_payloads)."""
+    d = T(spark, sf, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toked = d.select("doc_id", toks.alias("toks"),
+                     F.size(toks).alias("n"))
+    seg_structs = F.when(
+        F.col("n") >= SEGMENT_N,
+        F.transform(
+            F.sequence(F.lit(0),
+                       (F.floor(F.col("n") / SEGMENT_N) - 1).cast("int")),
+            lambda g: F.struct(
+                g.alias("g"),
+                F.array_join(F.slice("toks", g * SEGMENT_N + 1,
+                                     SEGMENT_N), " ").alias("seg")),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<g:int,seg:string>>"))
+    segs = toked.select(
+        "doc_id", F.explode(seg_structs).alias("s")
+    ).select("doc_id", "s.g", "s.seg", F.md5("s.seg").alias("seg_hash"))
+    stats = (
+        segs.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= SCRUB_MIN_DOCS)
+    )
+    marked = (
+        segs.join(stats, "seg_hash", "left")
+        .select(
+            "doc_id", "g", "seg",
+            (F.col("n_docs").isNotNull()
+             & (F.col("doc_id") > F.col("first_doc"))).alias("scrub"),
+        )
+    )
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.col("scrub").cast("long")).alias("n_scrubbed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("scrub"),
+                               F.struct("g", "seg")))),
+                    lambda x: x["seg"]), " ").alias("kept"),
+        )
+    )
+    tail = F.array_join(
+        F.slice(F.col("toks"),
+                (F.floor(F.col("n") / SEGMENT_N) * SEGMENT_N + 1)
+                .cast("int"),
+                (F.col("n") - F.floor(F.col("n") / SEGMENT_N)
+                 * SEGMENT_N).cast("int")), " ")
+    return (
+        toked.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_scrubbed", F.lit(0)).alias("n_scrubbed"),
+            F.concat_ws(
+                " ",
+                F.when(F.coalesce(F.col("kept"), F.lit("")) != "",
+                       F.col("kept")),
+                F.when(tail != "", tail)).alias("clean_text"),
+        )
+    )
+
+
+TX_SEGMENT_SCRUB_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+segs AS (
+  SELECT doc_id, g.g AS g,
+         array_to_string(
+           t[g.g * {SEGMENT_N} + 1:g.g * {SEGMENT_N} + {SEGMENT_N}],
+           ' ') AS seg
+  FROM toked,
+       LATERAL (SELECT unnest(range(len(t) // {SEGMENT_N})) AS g) g
+  WHERE len(t) >= {SEGMENT_N}),
+stats AS (
+  SELECT md5(seg) AS seg_hash, count(DISTINCT doc_id) AS n_docs,
+         min(doc_id) AS first_doc
+  FROM segs GROUP BY md5(seg)
+  HAVING count(DISTINCT doc_id) >= {SCRUB_MIN_DOCS}),
+marked AS (
+  SELECT s.doc_id, s.g, s.seg,
+         (st.seg_hash IS NOT NULL AND s.doc_id > st.first_doc)
+           AS scrub
+  FROM segs s LEFT JOIN stats st ON st.seg_hash = md5(s.seg)),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_segs,
+         CAST(SUM(CASE WHEN scrub THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_scrubbed,
+         coalesce(string_agg(seg, ' ' ORDER BY g)
+                  FILTER (WHERE NOT scrub), '') AS kept
+  FROM marked GROUP BY doc_id)
+SELECT tk.doc_id,
+       coalesce(r.n_segs, 0) AS n_segs,
+       coalesce(r.n_scrubbed, 0) AS n_scrubbed,
+       concat_ws(' ',
+         nullif(coalesce(r.kept, ''), ''),
+         nullif(array_to_string(
+           t[(len(t) // {SEGMENT_N}) * {SEGMENT_N} + 1:len(t)], ' '),
+           '')) AS clean_text
+FROM toked tk LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+BPE_TOP_PAIRS = 20  # report the top-K first-iteration merge pairs
+
+
+def tx_bpe_merges(spark, sf):
+    """Tokenizer-training prep: the FIRST BPE merge iteration
+    (Sennrich et al. 2016) over the corpus word-frequency table —
+    count every adjacent character pair weighted by word frequency
+    and report the top BPE_TOP_PAIRS merge candidates. (Full BPE
+    training iterates this with re-segmentation; the first iteration
+    is the representative, fully-relational kernel of the loop.)
+
+    Scale shape: explode tokens → ONE word-frequency hash agg (the
+    tx_vocab_topk shuffle), char pairs generated per DISTINCT word
+    (so pair expansion is over the vocabulary, not the corpus), one
+    more hash agg on the pair. The final rank window is unpartitioned
+    but runs over the pair-count table, which is bounded by
+    |alphabet|² — a few thousand rows regardless of corpus size."""
+    d = T(spark, sf, "documents")
+    words = (
+        d.select(F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+            .alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.length("w") - 2),
+            lambda i: F.col("w").substr(i + 1, F.lit(2)))).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("rank", "pair", "n")
+    )
+
+
+TX_BPE_MERGES_SQL = rf"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w
+  HAVING length(w) >= 2),
+pairs AS (
+  SELECT words.freq, i.i AS i, substring(words.w, i.i + 1, 2) AS pair
+  FROM words, LATERAL (SELECT unnest(range(length(words.w) - 1)) AS i) i),
+counts AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+  FROM pairs GROUP BY pair)
+SELECT rank, pair, n FROM (
+  SELECT pair, n,
+         row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+  FROM counts)
+WHERE rank <= {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),
     "tx_ft_score": (tx_ft_score, TX_FT_SCORE_SQL),
+    "tx_segment_scrub": (tx_segment_scrub, TX_SEGMENT_SCRUB_SQL),
+    "tx_bpe_merges": (tx_bpe_merges, TX_BPE_MERGES_SQL),
     "tx_top_ngram_frac": (tx_top_ngram_frac, TX_TOP_NGRAM_SQL),
     "tx_stratified_sample": (tx_stratified_sample, TX_STRATIFIED_SQL),
     "dd_semdedup": (dd_semdedup, DD_SEMDEDUP_SQL),

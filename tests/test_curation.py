@@ -170,3 +170,37 @@ def test_ft_score_hand_value(spark, tmp_path):
     w = int(hashlib.md5(b"hello").hexdigest()[:4], 16) - 32768
     assert r["raw_score"] == w
     assert r["ft_score"] == pytest.approx(round(w / 32768.0, 6))
+
+
+def test_segment_scrub_keep_first_semantics(spark, tmp_path):
+    """A segment shared by two docs survives in the min-doc_id doc and
+    is scrubbed from the later one; short docs pass through intact."""
+    from pdf_extraction_api_spark.operators.curation import (
+        tx_segment_scrub)
+
+    seg = "s1 s2 s3 s4 s5 s6 s7 s8"          # one full 8-token segment
+    uniq = "u1 u2 u3 u4 u5 u6 u7 u8"
+    sf = _write_docs(spark, tmp_path, [
+        (0, seg + " t1 t2", "en", "s", 0),    # first owner + tail
+        (1, uniq + " " + seg, "en", "s", 0),  # later copy → scrubbed
+        (2, "tiny doc", "en", "s", 0),        # < 8 tokens: tail only
+    ])
+    got = {r["doc_id"]: r for r in tx_segment_scrub(spark, sf).collect()}
+    assert got[0]["n_scrubbed"] == 0
+    assert got[0]["clean_text"] == seg + " t1 t2"
+    assert got[1]["n_scrubbed"] == 1 and got[1]["n_segs"] == 2
+    assert got[1]["clean_text"] == uniq
+    assert got[2]["n_segs"] == 0
+    assert got[2]["clean_text"] == "tiny doc"
+
+
+def test_bpe_merges_hand_counts(spark, tmp_path):
+    """'aaab aaab cd': pair aa occurs twice per 'aaab' → 4 total,
+    ab → 2, cd → 1 (frequency-weighted adjacent-pair counting)."""
+    from pdf_extraction_api_spark.operators.curation import tx_bpe_merges
+
+    sf = _write_docs(spark, tmp_path, [
+        (0, "aaab aaab cd", "en", "s", 12)])
+    rows = {r["pair"]: (r["rank"], r["n"])
+            for r in tx_bpe_merges(spark, sf).collect()}
+    assert rows == {"aa": (1, 4), "ab": (2, 2), "cd": (3, 1)}
