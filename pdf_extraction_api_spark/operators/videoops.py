@@ -253,7 +253,95 @@ FROM documents
 """
 
 
+SCENE_MIN_COLS = 12  # differing-column count that marks a shot cut
+
+_SCENE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("clip_kind", StringType()),
+    StructField("n_frames", IntegerType()),
+    StructField("n_cuts", IntegerType()),
+    StructField("max_diff_cols", IntegerType()),
+])
+
+
+def mm_video_scenes(spark, sf):
+    """Shot-boundary (scene-cut) detection — the video-curation
+    primitive that splits clips into scenes before sampling: decode
+    ALL frames (every consecutive pair, unlike mm_video_frames'
+    every-k-th sampling), count the image COLUMNS where any pixel
+    changed, and call a cut when >= SCENE_MIN_COLS columns moved
+    (for the synthetic 8-px square that means a jump of >= 6 px —
+    i.e. the wrap-around teleports, not the 5-px glides). The
+    criterion is an exact integer (a column set cardinality), so the
+    oracle reconstructs it analytically as the symmetric difference
+    of the two squares' column ranges — a codec scanline/order bug
+    changes the column sets and breaks the hash."""
+    clips = video_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel import avi as avic
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["clip_kind"].values,
+                    pdf["avi"].values):
+                _fps, frames = avic.decode(bytes(blob))
+                cuts, mx = 0, 0
+                for i in range(1, len(frames)):
+                    diff_cols = int(
+                        (frames[i] != frames[i - 1])
+                        .any(axis=(0, 2)).sum())
+                    mx = max(mx, diff_cols)
+                    if diff_cols >= SCENE_MIN_COLS:
+                        cuts += 1
+                rows.append({
+                    "doc_id": int(doc_id), "clip_kind": kind,
+                    "n_frames": len(frames), "n_cuts": cuts,
+                    "max_diff_cols": mx,
+                })
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(run, schema=_SCENE_SCHEMA)
+
+
+# analytic mirror: consecutive squares at x0(f) = (f*5) % (w-8) and
+# x0(f-1); a column differs iff it is in exactly one of the two
+# [x0, x0+8) ranges (static clips: zero). diff_cols = |symdiff| =
+# 16 - 2*overlap.
+MM_VIDEO_SCENES_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN 'moving' ELSE 'static' END
+           AS clip_kind,
+         CAST(32 + (doc_id * 11) % 16 AS BIGINT) AS w,
+         CAST(4 + doc_id % 5 AS BIGINT) AS nf
+  FROM documents),
+pairs AS (
+  SELECT d.doc_id, d.clip_kind, d.nf, f.f,
+         (f.f * 5) % (d.w - 8) AS a,
+         ((f.f - 1) * 5) % (d.w - 8) AS b
+  FROM docs d, LATERAL (SELECT unnest(range(1, d.nf)) AS f) f),
+diffs AS (
+  SELECT doc_id, clip_kind, nf, f,
+         CASE WHEN clip_kind = 'static' THEN 0
+              ELSE 16 - 2 * greatest(0,
+                8 - CAST(abs(a - b) AS BIGINT)) END AS diff_cols
+  FROM pairs)
+SELECT d.doc_id, d.clip_kind, CAST(d.nf AS INT) AS n_frames,
+       CAST(coalesce(SUM(CASE WHEN x.diff_cols >= {SCENE_MIN_COLS}
+                          THEN 1 ELSE 0 END), 0) AS INT) AS n_cuts,
+       CAST(coalesce(max(x.diff_cols), 0) AS INT) AS max_diff_cols
+FROM docs d LEFT JOIN diffs x USING (doc_id)
+GROUP BY d.doc_id, d.clip_kind, d.nf
+"""
+
+
 QUERIES = {
     "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),
     "mm_video_dims": (mm_video_dims, MM_VIDEO_DIMS_SQL),
+    "mm_video_scenes": (mm_video_scenes, MM_VIDEO_SCENES_SQL),
 }

@@ -57,3 +57,23 @@ def test_motion_static_vs_moving(spark):
     assert all(r.fps == 10 for r in rows)
     # sampling: only even frame numbers emitted (SAMPLE_EVERY=2)
     assert {r.frame_no % 2 for r in rows} == {0}
+
+
+def test_video_scenes_static_vs_moving(spark):
+    from pdf_extraction_api_spark.operators.videoops import (
+        SCENE_MIN_COLS, mm_video_scenes)
+
+    rows = mm_video_scenes(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    moving_cuts = 0
+    for r in rows:
+        if r["clip_kind"] == "static":
+            assert r["n_cuts"] == 0 and r["max_diff_cols"] == 0
+        else:
+            # every consecutive pair moves (5-px glide => 10 columns)
+            assert r["max_diff_cols"] >= 10
+            assert 0 <= r["n_cuts"] <= r["n_frames"] - 1
+            moving_cuts += r["n_cuts"]
+    # wrap-around teleports exist somewhere in the corpus
+    assert moving_cuts > 0
+    assert any(r["max_diff_cols"] >= SCENE_MIN_COLS for r in rows)
