@@ -633,11 +633,85 @@ WHERE rank <= {BPE_TOP_PAIRS}
 """
 
 
+def tx_curate_v2(spark, sf):
+    """Round-5 curation capstone — the crawl-balance + model-quality +
+    boilerplate gate, composing the four new per-doc stages into ONE
+    auditable verdict row per document: domain_kept (survived
+    dd_domain_cap's per-domain top-K), ft_label (hashed-linear quality
+    score), boiler_frac (share of the doc's 8-token segments scrubbed
+    as cross-doc boilerplate; 'heavy' iff 2·n_scrubbed > n_segs —
+    exact-integer comparison), and the advisory novelty score.
+    curated = domain_kept ∧ ft keep ∧ ¬boilerplate-heavy.
+
+    Scale shape: every stage keeps its own audited plan; the
+    composition is three doc_id equi-joins (AQE picks the strategy),
+    no new shuffle kinds. Same pattern as tx_curate (textops.py),
+    which composes the round-3 dedup/gopher/decontam stages."""
+    d = T(spark, sf, "documents").select("doc_id")
+    dom = dd_domain_cap(spark, sf).select(
+        "doc_id", F.lit(True).alias("domain_kept"))
+    ft = tx_ft_score(spark, sf).select("doc_id", "ft_label")
+    scrub = tx_segment_scrub(spark, sf).select(
+        "doc_id", "n_segs", "n_scrubbed")
+    nov = tx_ngram_novelty(spark, sf).select("doc_id", "novelty")
+    out = (
+        d.join(dom, "doc_id", "left")
+        .join(ft, "doc_id", "left")
+        .join(scrub, "doc_id", "left")
+        .join(nov, "doc_id", "left")
+    )
+    kept = F.coalesce("domain_kept", F.lit(False))
+    flabel = F.coalesce("ft_label", F.lit("drop"))
+    heavy = (F.coalesce("n_scrubbed", F.lit(0)) * 2
+             > F.coalesce("n_segs", F.lit(0)))
+    return out.select(
+        "doc_id",
+        F.when(kept, "true").otherwise("false").alias("domain_kept"),
+        flabel.alias("ft_label"),
+        F.when(
+            F.coalesce("n_segs", F.lit(0)) > 0,
+            F.round(F.col("n_scrubbed")
+                    / F.col("n_segs").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("boiler_frac"),
+        F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+        F.when(kept & (flabel == "keep") & ~heavy, "true")
+        .otherwise("false").alias("curated"),
+    )
+
+
+TX_CURATE_V2_SQL = f"""
+WITH dom AS (SELECT doc_id FROM ({DD_DOMAIN_CAP_SQL})),
+ft AS (SELECT doc_id, ft_label FROM ({TX_FT_SCORE_SQL})),
+scrub AS (SELECT doc_id, n_segs, n_scrubbed
+          FROM ({TX_SEGMENT_SCRUB_SQL})),
+nov AS (SELECT doc_id, novelty FROM ({TX_NOVELTY_SQL}))
+SELECT d.doc_id,
+       CASE WHEN dom.doc_id IS NOT NULL THEN 'true' ELSE 'false' END
+         AS domain_kept,
+       coalesce(ft.ft_label, 'drop') AS ft_label,
+       CAST(CASE WHEN coalesce(s.n_segs, 0) > 0
+            THEN round(s.n_scrubbed / CAST(s.n_segs AS DOUBLE), 6)
+            ELSE 0.0 END AS DOUBLE) AS boiler_frac,
+       CAST(coalesce(n.novelty, 0.0) AS DOUBLE) AS novelty,
+       CASE WHEN dom.doc_id IS NOT NULL
+             AND coalesce(ft.ft_label, 'drop') = 'keep'
+             AND NOT (coalesce(s.n_scrubbed, 0) * 2
+                      > coalesce(s.n_segs, 0))
+            THEN 'true' ELSE 'false' END AS curated
+FROM documents d
+LEFT JOIN dom ON dom.doc_id = d.doc_id
+LEFT JOIN ft ON ft.doc_id = d.doc_id
+LEFT JOIN scrub s ON s.doc_id = d.doc_id
+LEFT JOIN nov n ON n.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),
     "tx_ft_score": (tx_ft_score, TX_FT_SCORE_SQL),
     "tx_segment_scrub": (tx_segment_scrub, TX_SEGMENT_SCRUB_SQL),
     "tx_bpe_merges": (tx_bpe_merges, TX_BPE_MERGES_SQL),
+    "tx_curate_v2": (tx_curate_v2, TX_CURATE_V2_SQL),
     "tx_top_ngram_frac": (tx_top_ngram_frac, TX_TOP_NGRAM_SQL),
     "tx_stratified_sample": (tx_stratified_sample, TX_STRATIFIED_SQL),
     "dd_semdedup": (dd_semdedup, DD_SEMDEDUP_SQL),

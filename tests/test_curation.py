@@ -204,3 +204,20 @@ def test_bpe_merges_hand_counts(spark, tmp_path):
     rows = {r["pair"]: (r["rank"], r["n"])
             for r in tx_bpe_merges(spark, sf).collect()}
     assert rows == {"aa": (1, 4), "ab": (2, 2), "cd": (3, 1)}
+
+
+def test_curate_v2_verdict_consistency(spark):
+    """curated == domain_kept ∧ ft keep ∧ ¬(boiler_frac > 0.5), and
+    the verdict set is a strict, non-empty subset of the corpus."""
+    from pdf_extraction_api_spark.operators.curation import tx_curate_v2
+
+    rows = tx_curate_v2(spark, SF).collect()
+    assert len(rows) == 500
+    n_curated = 0
+    for r in rows:
+        want = (r["domain_kept"] == "true" and r["ft_label"] == "keep"
+                and not r["boiler_frac"] > 0.5)
+        assert (r["curated"] == "true") == want, r
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+        n_curated += r["curated"] == "true"
+    assert 0 < n_curated < 500
