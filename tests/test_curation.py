@@ -221,3 +221,47 @@ def test_curate_v2_verdict_consistency(spark):
         assert 0.0 <= r["boiler_frac"] <= 1.0
         n_curated += r["curated"] == "true"
     assert 0 < n_curated < 500
+
+
+def test_round5_plan_shapes(spark):
+    """Physical-plan intent of the round-5 scale arguments: the
+    domain cap, stratified sample and segment scrub never plan a
+    SinglePartition window/exchange (their whole point); bpe_merges'
+    only SinglePartition surface is the documented final top-K over
+    the alphabet²-bounded pair table."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    def plan(name):
+        return (qs[name](spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    for name in ("dd_domain_cap", "tx_stratified_sample",
+                 "tx_segment_scrub", "tx_ngram_novelty", "tx_ft_score"):
+        assert "SinglePartition" not in plan(name), name
+    assert "Window" in plan("dd_domain_cap")
+
+
+def test_round5_two_parallelism_determinism(spark):
+    """Round-5 rewrite/rank operators produce identical rows at 2 vs
+    32 shuffle partitions (the in-session proxy for N vs 4N executors,
+    same convention as test_determinism_across_parallelism):
+    array_sort-based rebuilds, salted top-K and prefix-sum ranks are
+    order-insensitive by construction."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = ("dd_domain_cap", "tx_stratified_sample",
+             "tx_segment_scrub", "tx_curate_v2")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                n: sorted(map(tuple, qs[n](spark, SF).collect()))
+                for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results["2"] == results["32"]
