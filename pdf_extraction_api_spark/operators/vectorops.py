@@ -349,26 +349,40 @@ def kmeans_cells(e: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
     core of ann_ivf_kmeans (IVF index build) and curation.dd_semdedup
     (the SemDeDup cluster stage). Deterministic: label-mean init,
     fixed iteration count, (cos DESC, cell ASC) tie-break. Returns
-    (final(m_id, m_cell), cent(cell, cvec))."""
+    (final(m_id, m_cell), cent(cell, cvec)).
+
+    Round-5 plan change: assignment is a PURE MAP. The k centroids
+    are collected into ONE array row (collect_list over a k-row
+    aggregate — k is small by construction), broadcast, and the
+    argmax runs as an array_max over (cos, -cell) structs — so each
+    Lloyd iteration costs zero shuffles for the corpus (the previous
+    crossJoin + row_number window shuffled and sorted the full
+    vector table per iteration, ×(iters+1)). The cosine expression
+    is unchanged, struct comparison orders by (ccos, -cell) =
+    exactly the old (cos DESC, cell ASC) tie-break, so assignments
+    are bit-identical and the oracle is untouched."""
     base = _with_norm(e, "embedding", "c")  # c_id, c_v, c_norm
 
     def assign(cent: DataFrame) -> DataFrame:
         """(c_id, embedding, cell): nearest centroid by cosine."""
         cn = F.sqrt(F.aggregate(
             F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x))
-        scored = base.crossJoin(F.broadcast(cent)).select(
-            "c_id", "c_v",
-            F.col("cell").alias("cand_cell"),
-            (_cosine("c_v", "cvec") / (F.col("c_norm") * cn))
-            .alias("ccos"),
-        )
-        w = Window.partitionBy("c_id").orderBy(
-            F.desc("ccos"), F.asc("cand_cell"))
+        cents = cent.agg(F.collect_list(
+            F.struct("cell", (cn).alias("cnorm"), "cvec")).alias("cents"))
+        best = F.array_max(F.transform(
+            "cents",
+            lambda c: F.struct(
+                (F.aggregate(
+                    F.zip_with(F.col("c_v"), c["cvec"],
+                               lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                 / (F.col("c_norm") * c["cnorm"])).alias("ccos"),
+                (-c["cell"]).alias("negcell"),
+            )))
         return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
+            base.crossJoin(F.broadcast(cents))
             .select("c_id", F.col("c_v").alias("embedding"),
-                    F.col("cand_cell").alias("cell"))
+                    (-best["negcell"]).cast("long").alias("cell"))
         )
 
     cent = _label_centroids(e, dim).select(
