@@ -35,7 +35,9 @@ from .textops import (
     _shingles,
     _SHINGLES_SQL,
     salted_bucket_pairs,
+    ws_tokens,
     SEGMENT_N,
+    WS_TOKS_SQL,
 )
 from .vectorops import (
     _KM_COS,
@@ -132,12 +134,11 @@ def tx_top_ngram_frac(spark, sf):
     length — never a corpus-wide sort) → broadcast-scale join back to
     per-doc totals. Docs with < 2 tokens report ('', 0, 0.0)."""
     d = T(spark, sf, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toks = ws_tokens()
     toked = d.select("doc_id", toks.alias("toks"))
     totals = toked.select(
         "doc_id",
-        F.length(F.concat_ws(" ", "toks")).alias("chars"),
-        F.size("toks").alias("n_toks"))
+        F.length(F.concat_ws(" ", "toks")).alias("chars"))
     bi = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 2),
         lambda i: F.concat_ws(
@@ -165,10 +166,9 @@ def tx_top_ngram_frac(spark, sf):
     )
 
 
-TX_TOP_NGRAM_SQL = r"""
+TX_TOP_NGRAM_SQL = rf"""
 WITH toked AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-                             x -> x <> '') AS toks
+  SELECT doc_id, {WS_TOKS_SQL} AS toks
   FROM documents),
 totals AS (
   SELECT doc_id, length(array_to_string(toks, ' ')) AS chars
@@ -228,8 +228,9 @@ def tx_stratified_sample(spark, sf):
         "lang", "bucket",
         F.coalesce(F.sum("bn").over(w_cum), F.lit(0)).alias("base"))
     n_lang = bucket_n.groupBy("lang").agg(F.sum("bn").alias("n_lang"))
-    n_keep = (F.col("n_lang") + (SAMPLE_DEN - 1)).cast("long") \
-        / F.lit(SAMPLE_DEN)
+    # true integer ceil on BOTH engines (`div` is Spark's integral
+    # division) — matching the docstring's no-float claim
+    n_keep = F.expr(f"(n_lang + {SAMPLE_DEN - 1}) div {SAMPLE_DEN}")
     w_local = Window.partitionBy("lang", "bucket").orderBy(
         "h", "doc_id")
     return (
@@ -240,7 +241,7 @@ def tx_stratified_sample(spark, sf):
             "lang", "doc_id",
             (F.col("base") + F.col("lrk")).alias("rnk"),
             "n_lang",
-            F.floor(n_keep).cast("long").alias("n_keep"),
+            n_keep.cast("long").alias("n_keep"),
         )
         .filter(F.col("rnk") <= F.col("n_keep"))
     )
@@ -398,7 +399,7 @@ def tx_ft_score(spark, sf):
     weight table would broadcast-join on the bucket id without
     changing the shape."""
     d = T(spark, sf, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toks = ws_tokens()
     w = lambda t: (F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
                    .cast("long") - 32768)
     toked = d.select("doc_id", toks.alias("toks"))
@@ -419,10 +420,9 @@ def tx_ft_score(spark, sf):
     )
 
 
-TX_FT_SCORE_SQL = r"""
+TX_FT_SCORE_SQL = rf"""
 WITH toked AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-                             x -> x <> '') AS toks
+  SELECT doc_id, {WS_TOKS_SQL} AS toks
   FROM documents),
 scored AS (
   SELECT doc_id, len(toks) AS n_toks,
@@ -463,7 +463,7 @@ def tx_segment_scrub(spark, sf):
     rewriter whose OUTPUT is the text (same argument as
     tx_pack_payloads)."""
     d = T(spark, sf, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toks = ws_tokens()
     toked = d.select("doc_id", toks.alias("toks"),
                      F.size(toks).alias("n"))
     seg_structs = F.when(
@@ -531,8 +531,7 @@ def tx_segment_scrub(spark, sf):
 
 TX_SEGMENT_SCRUB_SQL = rf"""
 WITH toked AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-                             x -> x <> '') AS t
+  SELECT doc_id, {WS_TOKS_SQL} AS t
   FROM documents),
 segs AS (
   SELECT doc_id, g.g AS g,
@@ -590,9 +589,7 @@ def tx_bpe_merges(spark, sf):
     |alphabet|² — a few thousand rows regardless of corpus size."""
     d = T(spark, sf, "documents")
     words = (
-        d.select(F.explode(
-            F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-            .alias("w"))
+        d.select(F.explode(ws_tokens()).alias("w"))
         .groupBy("w").agg(F.count("*").alias("freq"))
         .filter(F.length("w") >= 2)
     )
@@ -614,8 +611,7 @@ def tx_bpe_merges(spark, sf):
 TX_BPE_MERGES_SQL = rf"""
 WITH words AS (
   SELECT w, count(*) AS freq FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
-                              x -> x <> '')) AS w
+    SELECT unnest({WS_TOKS_SQL}) AS w
     FROM documents)
   GROUP BY w
   HAVING length(w) >= 2),

@@ -59,6 +59,22 @@ SHINGLE = 3
 LSH_BUCKET_CAP = 64
 
 
+def ws_tokens(col: str = "text"):
+    """THE whitespace tokenizer — the cross-engine parity contract
+    every text operator's oracle depends on (Java \\s+ split, empties
+    dropped). New operators must use this helper (and WS_TOKS_SQL on
+    the oracle side) instead of inlining the expression; the older
+    textops call sites predate it and are left inline deliberately —
+    editing their function sources would churn the committed
+    QUERY_FPRINTS of driver-green queries for zero semantic change."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+# the DuckDB mirror of ws_tokens (RE2 \s+ split + empty filter)
+WS_TOKS_SQL = r"""list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '')"""
+
+
 # positional tokenization, oracle-side only (the engine paths build
 # token arrays map-side and never need a positional explode)
 _TOKENS_SQL = r"""
@@ -1076,8 +1092,14 @@ raw AS (
            / (c.n_lang / CAST(tot.n AS DOUBLE)) AS raw_rate
   FROM cnt c LEFT JOIN tgt t USING (lang), tot),
 rates AS (
+  -- mirror the Spark-side zero guard (pre-r4 `max_rate or 1.0`): an
+  -- unguarded 0.0/0.0 is NULL on DuckDB 1.0 but NaN on >= 1.1, and
+  -- DuckDB orders NaN above everything — the degenerate all-zero-mix
+  -- corpus would then keep the whole corpus in the oracle only
   SELECT lang, n_lang,
-         round(raw_rate / (SELECT max(raw_rate) FROM raw), 9) AS rate
+         round(raw_rate / (SELECT CASE WHEN max(raw_rate) > 0
+                           THEN max(raw_rate) ELSE 1.0 END FROM raw), 9)
+           AS rate
   FROM raw),
 kept AS (
   SELECT d.lang, d.doc_id
