@@ -1156,6 +1156,58 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
 """
 
 
+def ev_quantiles(spark, sf):
+    """Exact per-stratum quantiles (p50/p90/p99 of value per event
+    type) as ORDER STATISTICS: the value at rank ceil(p·n), all rank
+    arithmetic integral (`div`), so no interpolation formula and no
+    float literal exists to diverge between engines — the reported
+    quantiles are exact stored doubles picked by rank, hash-safe by
+    construction. (Spark's `percentile` and DuckDB's quantile_cont
+    both interpolate, but with differently-associated expressions —
+    a 1-ulp cross-engine wobble this formulation sidesteps.)
+
+    Scale shape: one window per event_type (types sort in parallel;
+    a single-type mega-stratum would need the salted two-level
+    select) — at 100 TB the production path is approx_percentile /
+    t-digest, this exact op is the verification baseline."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id"))
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranked = (
+        e.select("event_type", "value", "event_id")
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(counts), "event_type")
+    )
+    def at(expr):
+        return F.max(F.when(F.expr(expr) == F.col("rk"),
+                            F.col("value")))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            at("(n + 1) div 2").alias("p50"),
+            at("(9 * n + 9) div 10").alias("p90"),
+            at("(99 * n + 99) div 100").alias("p99"),
+        )
+    )
+
+
+EV_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rk = (n + 1) // 2 THEN value END) AS p50,
+       max(CASE WHEN rk = (9 * n + 9) // 10 THEN value END) AS p90,
+       max(CASE WHEN rk = (99 * n + 99) // 100 THEN value END) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
@@ -1163,6 +1215,7 @@ QUERIES: dict[str, tuple] = {
     "ev_moving_stats": (ev_moving_stats, EV_MOVING_SQL),
     "ev_pivot": (ev_pivot, EV_PIVOT_SQL),
     "ev_ranks": (ev_ranks, EV_RANKS_SQL),
+    "ev_quantiles": (ev_quantiles, EV_QUANTILES_SQL),
     "p_unpivot": (p_unpivot, P_UNPIVOT_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),

@@ -265,3 +265,26 @@ def test_round5_two_parallelism_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results["2"] == results["32"]
+
+
+def test_ev_quantiles_order_statistics(spark):
+    """p50/p90/p99 equal numpy's ceil-rank order statistic per type."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_api_spark.operators.relational import ev_quantiles
+
+    evs = pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_type", "value"]).to_pylist()
+    by_type = {}
+    for r in evs:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    got = {r["event_type"]: r for r in ev_quantiles(spark, SF).collect()}
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert got[t]["n"] == n
+        for col, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            assert got[t][col] == vals[math.ceil(p * n) - 1], (t, col)
