@@ -132,13 +132,25 @@ def clean_grid(raw: list[list]) -> list[list[str]]:
             if cell is None:
                 crow.append("")
                 continue
-            if isinstance(cell, str) and cell.isalnum():
-                # no whitespace, all printable: strip/sub/replace are
-                # no-ops — one C call instead of regex machinery
-                crow.append(cell)
-                keep = True
-                continue
-            if not isinstance(cell, str):
+            if isinstance(cell, str):
+                if cell.isalnum():
+                    # no whitespace, all printable: strip/sub/replace
+                    # are no-ops — one C call instead of regex work
+                    crow.append(cell)
+                    keep = True
+                    continue
+                # ascii-printable with no 0x20: ASCII's ONLY printable
+                # whitespace is the space, so " " absent + isascii +
+                # isprintable ⇒ no whitespace at all (join(split) is
+                # identity) and the printable filter is a no-op —
+                # covers "$1,234" / "37.08" cells the isalnum path
+                # misses (exactness fuzz-pinned in test_kernel.py)
+                if (cell and " " not in cell and cell.isascii()
+                        and cell.isprintable()):
+                    crow.append(cell)
+                    keep = True
+                    continue
+            else:
                 cell = str(cell)
             # == _WS.sub(" ", cell.strip()): str.split whitespace is
             # exactly regex \s (verified over all of Unicode), 3x

@@ -190,3 +190,46 @@ def test_numeric_match_equiv():
             for _ in range(5000)]
     for c in explicit + fuzz:
         assert bool(_numeric_match(c)) == bool(_NUMERIC.match(c.strip())), c
+
+
+def test_clean_grid_fast_path_equiv():
+    """The ascii-printable-no-space fast path must be byte-equivalent
+    to the full join(split) + printable-filter pipeline (ASCII's only
+    printable whitespace is 0x20, so the guard implies no-op)."""
+    import random
+
+    from pdf_extraction_api_spark.kernel.tablepipe import clean_grid
+
+    def reference(raw):
+        out = []
+        for row in raw:
+            crow, keep = [], False
+            for cell in row:
+                if cell is None:
+                    crow.append("")
+                    continue
+                if not isinstance(cell, str):
+                    cell = str(cell)
+                s = " ".join(cell.split())
+                if not s.isprintable():
+                    s = "".join(ch for ch in s if ch.isprintable())
+                crow.append(s)
+                if s:
+                    keep = True
+            if keep:
+                out.append(crow)
+        return out
+
+    rng = random.Random(55)
+    alphabet = ("abcXYZ019$%.,-\t\n\r\x0b\x0c \x00\x7f  "
+                "​́é²½")
+    explicit = [
+        [[None, "", " ", "a b", "$1,234", "37.08", "x\x00y", "é"]],
+        [[" ", "a b", "a​b", 12, 3.5, True]],
+    ]
+    fuzz = [[["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(10)))
+              for _ in range(rng.randrange(5))]
+             for _ in range(rng.randrange(4))] for _ in range(3000)]
+    for g in explicit + fuzz:
+        assert clean_grid(g) == reference(g), g
