@@ -1208,6 +1208,154 @@ FROM ranked GROUP BY event_type
 """
 
 
+def ev_funnel(spark, sf):
+    """Ordered conversion funnel (view → click → purchase): a user
+    reaches stage k only via an event AFTER their stage-(k-1) entry
+    time (first qualifying event each). Per stage: users reached +
+    mean seconds from the previous stage.
+
+    Cross-engine float discipline: the step delta is summed as EXACT
+    epoch MICROSECONDS (BIGINT) and divided ONCE by n·1e6 — avg()
+    over per-user float seconds would expose partial-aggregation
+    summation order (Spark tree-aggregates, DuckDB is sequential)
+    and flake the 6-dp round at a boundary.
+
+    Scale shape: three per-user min-aggregates chained by equi joins
+    on user_id (each stage's table shrinks), then three single-row
+    rollups unioned — no windows, everything partial-aggregable."""
+    e = T(spark, sf, "events")
+
+    def us_diff(b, a):
+        # NTZ-safe, tz-free microsecond delta: interval component
+        # extraction (unix_micros rejects TIMESTAMP_NTZ, and an epoch
+        # cast would shift with the session timezone — the
+        # ev_sessionize convention). b > a is guaranteed by the stage
+        # filters, so no negative-interval branch.
+        return F.expr(
+            f"extract(DAY FROM {b} - {a}) * 86400000000"
+            f" + extract(HOUR FROM {b} - {a}) * 3600000000"
+            # MINUTE extract is INT and 60000000 fits INT: 59 * 6e7
+            # overflows int32 under ANSI — force the long lane
+            f" + CAST(extract(MINUTE FROM {b} - {a}) AS BIGINT)"
+            f"   * 60000000"
+            f" + CAST(extract(SECOND FROM {b} - {a}) * 1000000"
+            f"        AS BIGINT)")
+
+    def first_after(etype, prev, prev_t):
+        j = (e.filter(F.col("event_type") == etype)
+             .join(prev, "user_id")
+             .filter(F.col("ts") > F.col(prev_t)))
+        return j.groupBy("user_id").agg(
+            F.min("ts").alias(prev_t + "n"),
+            F.max(prev_t).alias(prev_t + "p"))
+
+    s1 = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = first_after("click", s1, "t1").select(
+        "user_id", F.col("t1n").alias("t2"), F.col("t1p").alias("t1"))
+    s3 = first_after("purchase", s2, "t2").select(
+        "user_id", F.col("t2n").alias("t3"), F.col("t2p").alias("t2"))
+
+    def roll(df, no, name, a, b):
+        d = us_diff(b, a) if a else F.lit(0)
+        return df.agg(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+            F.when(
+                F.count("*") > 0,
+                F.round(F.sum(d).cast("double")
+                        / (F.count("*") * F.lit(1000000)), 6),
+            ).otherwise(F.lit(0.0)).alias("avg_step_secs"),
+        )
+
+    return (roll(s1, 1, "view", None, None)
+            .union(roll(s2, 2, "click", "t1", "t2"))
+            .union(roll(s3, 3, "purchase", "t2", "t3")))
+
+
+EV_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, max(s1.t1) AS t1
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3, max(s2.t2) AS t2
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1 AS stage_no, 'view' AS stage, count(*) AS n_users,
+       0.0 AS avg_step_secs FROM s1
+UNION ALL
+SELECT 2, 'click', count(*),
+       CASE WHEN count(*) > 0 THEN
+         round(CAST(CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+               AS DOUBLE) / (count(*) * 1000000), 6)
+       ELSE 0.0 END FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*),
+       CASE WHEN count(*) > 0 THEN
+         round(CAST(CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS BIGINT)
+               AS DOUBLE) / (count(*) * 1000000), 6)
+       ELSE 0.0 END FROM s3
+"""
+
+
+
+def ev_retention(spark, sf):
+    """Weekly cohort retention: cohort = a user's first active epoch
+    week (integral `div` on days-since-epoch — calendar-free and
+    NTZ/timezone-free, no date_trunc locale/week-start semantics to
+    match across engines); for each (cohort_week, week_offset) report
+    distinct active users, cohort size and the retention rate (one
+    exact int/int division).
+
+    Scale shape: one distinct (user, week) projection, one min-agg
+    for cohorts, one equi join back, one count-distinct rollup — all
+    hash-partial; no windows."""
+    e = T(spark, sf, "events")
+    wk = F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7")
+    weeks = e.select("user_id", wk.alias("wk")).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(
+        F.countDistinct("user_id").alias("n_cohort"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"), "week_offset",
+            "n_active", "n_cohort",
+            F.round(F.col("n_active")
+                    / F.col("n_cohort").cast("double"), 6).alias("rate"),
+        )
+    )
+
+
+EV_RETENTION_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk
+  FROM events),
+cohort AS (SELECT user_id, min(wk) AS cw FROM weeks GROUP BY user_id),
+sizes AS (
+  SELECT cw, count(DISTINCT user_id) AS n_cohort
+  FROM cohort GROUP BY cw)
+SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset,
+       count(DISTINCT w.user_id) AS n_active, max(s.n_cohort) AS n_cohort,
+       CAST(round(count(DISTINCT w.user_id)
+                  / CAST(max(s.n_cohort) AS DOUBLE), 6) AS DOUBLE)
+         AS rate
+FROM weeks w
+JOIN cohort c ON c.user_id = w.user_id
+JOIN sizes s ON s.cw = c.cw
+GROUP BY c.cw, w.wk - c.cw
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
@@ -1216,6 +1364,8 @@ QUERIES: dict[str, tuple] = {
     "ev_pivot": (ev_pivot, EV_PIVOT_SQL),
     "ev_ranks": (ev_ranks, EV_RANKS_SQL),
     "ev_quantiles": (ev_quantiles, EV_QUANTILES_SQL),
+    "ev_funnel": (ev_funnel, EV_FUNNEL_SQL),
+    "ev_retention": (ev_retention, EV_RETENTION_SQL),
     "p_unpivot": (p_unpivot, P_UNPIVOT_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "aj_asof_join": (aj_asof_join, AJ_ASOF_SQL),

@@ -288,3 +288,51 @@ def test_ev_quantiles_order_statistics(spark):
         assert got[t]["n"] == n
         for col, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             assert got[t][col] == vals[math.ceil(p * n) - 1], (t, col)
+
+
+def test_funnel_monotone_and_ordered(spark):
+    """Stage counts are non-increasing, and the reached-users sets
+    recomputed independently in Python match exactly."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_api_spark.operators.relational import ev_funnel
+
+    evs = pq.read_table(f"{SF}/events.parquet",
+                        columns=["user_id", "event_type", "ts"]).to_pylist()
+    t1, t2, t3 = {}, {}, {}
+    for r in sorted(evs, key=lambda r: r["ts"]):
+        u, t, ts = r["user_id"], r["event_type"], r["ts"]
+        if t == "view" and u not in t1:
+            t1[u] = ts
+        elif t == "click" and u in t1 and u not in t2 and ts > t1[u]:
+            t2[u] = ts
+        elif t == "purchase" and u in t2 and u not in t3 and ts > t2[u]:
+            t3[u] = ts
+    got = {r["stage"]: r for r in ev_funnel(spark, SF).collect()}
+    assert got["view"]["n_users"] == len(t1)
+    assert got["click"]["n_users"] == len(t2)
+    assert got["purchase"]["n_users"] == len(t3)
+    assert (got["view"]["n_users"] >= got["click"]["n_users"]
+            >= got["purchase"]["n_users"] > 0)
+    for s in ("click", "purchase"):
+        assert got[s]["avg_step_secs"] > 0
+
+
+def test_retention_cohort_identities(spark):
+    """Offset-0 retention is exactly 1.0 per cohort, offsets are
+    non-negative, and cohort sizes sum to the distinct-user count."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_api_spark.operators.relational import ev_retention
+
+    rows = ev_retention(spark, SF).collect()
+    assert rows
+    n_users = len({r["user_id"] for r in pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id"]).to_pylist()})
+    zero = {r["cohort_week"]: r for r in rows if r["week_offset"] == 0}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["n_cohort"]
+        assert 0.0 < r["rate"] <= 1.0
+    assert all(r["rate"] == 1.0 for r in zero.values())
+    assert sum(r["n_cohort"] for r in zero.values()) == n_users
