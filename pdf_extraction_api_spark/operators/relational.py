@@ -1171,8 +1171,11 @@ def ev_quantiles(spark, sf):
     select) — at 100 TB the production path is approx_percentile /
     t-digest, this exact op is the verification baseline."""
     e = T(spark, sf, "events")
+    # NULLS LAST pinned explicitly: Spark asc() is NULLS FIRST while
+    # DuckDB window ASC defaults NULLS LAST — a future fixture with
+    # NULL values would silently shift every rank between engines
     w = Window.partitionBy("event_type").orderBy(
-        F.asc("value"), F.asc("event_id"))
+        F.asc_nulls_last("value"), F.asc("event_id"))
     counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
     ranked = (
         e.select("event_type", "value", "event_id")
@@ -1197,7 +1200,8 @@ EV_QUANTILES_SQL = """
 WITH ranked AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY value ASC, event_id ASC) AS rk,
+                            ORDER BY value ASC NULLS LAST,
+                                     event_id ASC) AS rk,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events)
 SELECT event_type, CAST(max(n) AS BIGINT) AS n,
@@ -1319,11 +1323,14 @@ def ev_retention(spark, sf):
     weeks = e.select("user_id", wk.alias("wk")).distinct()
     cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cw"))
     sizes = cohort.groupBy("cw").agg(
-        F.countDistinct("user_id").alias("n_cohort"))
+        # cohort rows are unique per user (groupBy output) — a plain
+        # count avoids the Expand + two-phase distinct aggregate
+        F.count("*").alias("n_cohort"))
     return (
         weeks.join(cohort, "user_id")
         .groupBy("cw", (F.col("wk") - F.col("cw")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        # weeks is DISTINCT (user, wk): one row per user per offset
+        .agg(F.count("*").alias("n_active"))
         .join(F.broadcast(sizes), "cw")
         .select(
             F.col("cw").alias("cohort_week"), "week_offset",
@@ -1342,11 +1349,11 @@ WITH weeks AS (
   FROM events),
 cohort AS (SELECT user_id, min(wk) AS cw FROM weeks GROUP BY user_id),
 sizes AS (
-  SELECT cw, count(DISTINCT user_id) AS n_cohort
+  SELECT cw, count(*) AS n_cohort
   FROM cohort GROUP BY cw)
 SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset,
-       count(DISTINCT w.user_id) AS n_active, max(s.n_cohort) AS n_cohort,
-       CAST(round(count(DISTINCT w.user_id)
+       count(*) AS n_active, max(s.n_cohort) AS n_cohort,
+       CAST(round(count(*)
                   / CAST(max(s.n_cohort) AS DOUBLE), 6) AS DOUBLE)
          AS rate
 FROM weeks w

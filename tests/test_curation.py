@@ -314,8 +314,16 @@ def test_funnel_monotone_and_ordered(spark):
     assert got["purchase"]["n_users"] == len(t3)
     assert (got["view"]["n_users"] >= got["click"]["n_users"]
             >= got["purchase"]["n_users"] > 0)
-    for s in ("click", "purchase"):
-        assert got[s]["avg_step_secs"] > 0
+    # pin the mean deltas exactly (sum of EXACT integer microseconds
+    # via timedelta floor-division, one float division at the end —
+    # the same arithmetic the operator performs)
+    from datetime import timedelta
+
+    one_us = timedelta(microseconds=1)
+    for s, cur, prev in (("click", t2, t1), ("purchase", t3, t2)):
+        us = sum((cur[u] - prev[u]) // one_us for u in cur)
+        want = round(us / (len(cur) * 1000000), 6)
+        assert got[s]["avg_step_secs"] == want
 
 
 def test_retention_cohort_identities(spark):
