@@ -37,18 +37,24 @@ def test_registry_names_sane():
         assert callable(fn), name
 
 
-def test_no_hugeint_oracle_output(con):
-    """Statically reject HUGEINT/UHUGEINT oracle output columns.
+def test_no_hugeint_or_decimal_oracle_output(con):
+    """Statically reject HUGEINT/UHUGEINT and DECIMAL oracle output
+    columns — the two DuckDB types whose pandas-path representation
+    diverges from Spark's long/double.
 
-    The driver's value hasher goes through pandas, where DuckDB
+    HUGEINT: the driver's value hasher goes through pandas, where
     HUGEINT coerces to float64 ("0" hashes as "0.0"), so an oracle
-    emitting HUGEINT hash-mismatches EVERY row while rows/schema
-    match — the exact round-4 driver-red signature of
-    tx_pack_sequences (window SUM over BIGINT and `//` both return
-    HUGEINT). Local `fetchall()` converts HUGEINT to Python int and
-    hides the problem, so this must be a static type check: every
-    window SUM / integer division feeding an output column needs
-    `CAST(... AS BIGINT)`."""
+    emitting it hash-mismatches EVERY row while rows/schema match —
+    the exact round-4 driver-red signature of tx_pack_sequences
+    (window SUM over BIGINT and `//` both return HUGEINT). Local
+    `fetchall()` converts HUGEINT to Python int and hides it, so the
+    check must be static: CAST(... AS BIGINT).
+
+    DECIMAL: a bare `0.0` literal or decimal arithmetic yields
+    DECIMAL(p,s), which pandas renders as decimal.Decimal ("1.50" vs
+    Spark's 1.5) — repo convention is CAST(... AS DOUBLE) on every
+    fractional output, and as of round 5 zero oracles emit DECIMAL,
+    so this lint has no false positives to grandfather."""
     bad = []
     for name, sql in entrymod.oracle_sql().items():
         try:
@@ -57,9 +63,9 @@ def test_no_hugeint_oracle_output(con):
             continue  # plan failures are test_every_oracle_plans_in_duckdb's
         for row in cols:
             col, typ = row[0], str(row[1]).upper()
-            if "HUGEINT" in typ:
+            if "HUGEINT" in typ or "DECIMAL" in typ:
                 bad.append((name, col, typ))
-    assert not bad, f"HUGEINT oracle columns (driver hash-red): {bad}"
+    assert not bad, f"driver-hash-unsafe oracle columns: {bad}"
 
 
 def test_every_oracle_plans_in_duckdb(con):
