@@ -549,16 +549,10 @@ def _hyperplanes() -> list[list[int]]:
     return planes
 
 
-def dd_embed_lsh(spark, sf):
-    """Embedding near-dup at scale via random-hyperplane LSH (SimHash
-    for cosine): signature = sign bits of v·r_j over N_PLANES fixed ±1
-    hyperplanes; only same-signature buckets are candidate pairs, then
-    exact cosine verifies >= SIM_THRESHOLD. Geometry-based — unlike
-    dd_embed_cosine's label blocking it needs no metadata to align
-    with the vector space; at 100 TB the bucket groupBy replaces the
-    all-pairs join (collision probability (1-θ/π)^N_PLANES)."""
+def _sig_col():
+    """Hyperplane sign-bit signature as a Column (shared by
+    dd_embed_lsh and dd_incremental_embed)."""
     planes = _hyperplanes()
-    e = T(spark, sf, "embeddings")
     bits = [
         F.when(
             F.aggregate(
@@ -571,10 +565,31 @@ def dd_embed_lsh(spark, sf):
             ) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(N_PLANES)
     ]
+    return sum(bits[1:], bits[0])
+
+
+def _sig_terms_sql() -> str:
+    """The DuckDB mirror of _sig_col (same ±1 hyperplanes)."""
+    planes = _hyperplanes()
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {planes[j]!r}::DOUBLE[])"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
+def dd_embed_lsh(spark, sf):
+    """Embedding near-dup at scale via random-hyperplane LSH (SimHash
+    for cosine): signature = sign bits of v·r_j over N_PLANES fixed ±1
+    hyperplanes; only same-signature buckets are candidate pairs, then
+    exact cosine verifies >= SIM_THRESHOLD. Geometry-based — unlike
+    dd_embed_cosine's label blocking it needs no metadata to align
+    with the vector space; at 100 TB the bucket groupBy replaces the
+    all-pairs join (collision probability (1-θ/π)^N_PLANES)."""
+    e = T(spark, sf, "embeddings")
     from .textops import capped_bucket_pairs
 
-    sig = sum(bits[1:], bits[0]).alias("sig")
-    signed = e.select("vec_id", "embedding", sig)
+    signed = e.select("vec_id", "embedding", _sig_col().alias("sig"))
     # aggregate-then-expand with a bucket cap — shared plan shape with
     # dd_minhash_lsh (textops.capped_bucket_pairs)
     cand = (
@@ -600,12 +615,7 @@ def dd_embed_lsh(spark, sf):
 
 
 def _embed_lsh_sql() -> str:
-    planes = _hyperplanes()
-    bit_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding, {planes[j]!r}::DOUBLE[])"
-        f" > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    )
+    bit_terms = _sig_terms_sql()
     return f"""
 WITH signed AS (
   SELECT vec_id, embedding, {bit_terms} AS sig FROM embeddings),
@@ -629,6 +639,101 @@ WHERE list_dot_product(a.embedding, b.embedding)
 """
 
 
+NEW_VEC_MOD = 5  # deterministic pseudo-batch: vec_id % 5 == 0 is "new"
+
+
+def dd_incremental_embed(spark, sf):
+    """Incremental EMBEDDING dedup — the recurring-crawl shape of
+    dd_embed_lsh (the vector analog of textops.dd_incremental): a NEW
+    batch of vectors (vec_id % 5 == 0) is probed against the
+    historical corpus's hyperplane signatures. Verdict per new
+    vector: near_dup (signature collision AND exact cosine >=
+    SIM_THRESHOLD, best match reported), candidate_only (collision
+    but below the threshold — the LSH false-positive band), or
+    new_unique (no collision).
+
+    Scale shape: the new batch broadcasts, history STREAMS through a
+    broadcast hash join on the signature and is never shuffled (in
+    production the historical signature table is the persisted
+    catalog relation — the dd_incremental seam); exact cosine runs
+    only on collision rows, and the best-match pick is a struct-max
+    aggregate ((cos, -hid) — the kmeans argmax trick), not a window."""
+    e = T(spark, sf, "embeddings")
+    signed = e.select("vec_id", "embedding", _sig_col().alias("sig"))
+    is_new = F.col("vec_id") % NEW_VEC_MOD == 0
+
+    def normed(df, pfx):
+        return df.select(
+            F.col("vec_id").alias(f"{pfx}_id"),
+            F.col("embedding").alias(f"{pfx}_v"),
+            "sig",
+            F.sqrt(F.aggregate(
+                F.col("embedding"), F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )).alias(f"{pfx}_norm"))
+
+    new = normed(signed.filter(is_new), "q")
+    hist = normed(signed.filter(~is_new), "c")
+    coll = (
+        hist.join(F.broadcast(new), "sig")
+        .select(
+            "q_id", F.col("c_id").alias("hid"),
+            (_cosine("q_v", "c_v")
+             / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    best = (
+        coll.groupBy("q_id")
+        .agg(F.max(F.struct(F.col("cos").alias("c"),
+                            (-F.col("hid")).alias("nh"))).alias("b"))
+        .select("q_id", (-F.col("b.nh")).cast("long").alias("best_match"),
+                F.col("b.c").alias("best_cos"))
+    )
+    return (
+        signed.filter(is_new).select(F.col("vec_id"))
+        .join(best, F.col("vec_id") == F.col("q_id"), "left")
+        .select(
+            "vec_id",
+            F.when(F.col("q_id").isNull(), "new_unique")
+            .when(F.col("best_cos") >= SIM_THRESHOLD, "near_dup")
+            .otherwise("candidate_only").alias("verdict"),
+            "best_match",
+            F.round("best_cos", 4).alias("best_cos"),
+        )
+    )
+
+
+def _incremental_embed_sql() -> str:
+    cos = ("list_dot_product(h.ve, n.ve)"
+           " / (sqrt(list_dot_product(h.ve, h.ve))"
+           " * sqrt(list_dot_product(n.ve, n.ve)))")
+    return f"""
+WITH signed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+         {_sig_terms_sql()} AS sig
+  FROM embeddings),
+new AS (SELECT * FROM signed WHERE vec_id % {NEW_VEC_MOD} = 0),
+hist AS (SELECT * FROM signed WHERE vec_id % {NEW_VEC_MOD} <> 0),
+coll AS (
+  SELECT n.vec_id AS q_id, h.vec_id AS hid, {cos} AS cos
+  FROM hist h JOIN new n ON n.sig = h.sig),
+best AS (
+  SELECT q_id, hid AS best_match, cos AS best_cos FROM (
+    SELECT q_id, hid, cos,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, hid ASC) AS rk
+    FROM coll)
+  WHERE rk = 1)
+SELECT n.vec_id,
+       CASE WHEN b.q_id IS NULL THEN 'new_unique'
+            WHEN b.best_cos >= {SIM_THRESHOLD} THEN 'near_dup'
+            ELSE 'candidate_only' END AS verdict,
+       b.best_match,
+       CAST(round(b.best_cos, 4) AS DOUBLE) AS best_cos
+FROM new n LEFT JOIN best b ON b.q_id = n.vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
@@ -636,4 +741,6 @@ QUERIES = {
     "ann_ivf_kmeans": (ann_ivf_kmeans, _kmeans_sql()),
     "dd_embed_cosine": (dd_embed_cosine, DD_EMBED_SQL),
     "dd_embed_lsh": (dd_embed_lsh, _embed_lsh_sql()),
+    "dd_incremental_embed": (dd_incremental_embed,
+                             _incremental_embed_sql()),
 }

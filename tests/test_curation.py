@@ -344,3 +344,43 @@ def test_retention_cohort_identities(spark):
         assert 0.0 < r["rate"] <= 1.0
     assert all(r["rate"] == 1.0 for r in zero.values())
     assert sum(r["n_cohort"] for r in zero.values()) == n_users
+
+
+def test_incremental_embed_verdicts(spark):
+    """Verdicts recomputed independently in numpy: signature
+    collisions from the same hyperplanes, best match by (cos, -id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_api_spark.operators.vectorops import (
+        NEW_VEC_MOD, SIM_THRESHOLD, _hyperplanes, dd_incremental_embed)
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in pq.read_table(
+                f"{SF}/embeddings.parquet").to_pylist()}
+    planes = np.array(_hyperplanes(), dtype=np.float64)
+
+    def sig(v):
+        return int(sum(1 << j for j, d in enumerate(planes @ v) if d > 0))
+
+    sigs = {i: sig(v) for i, v in vecs.items()}
+    hist = {i for i in vecs if i % NEW_VEC_MOD != 0}
+    got = {r["vec_id"]: r for r in dd_incremental_embed(spark, SF).collect()}
+    assert set(got) == {i for i in vecs if i % NEW_VEC_MOD == 0}
+    n_near = 0
+    for i, r in got.items():
+        coll = [h for h in hist if sigs[h] == sigs[i]]
+        if not coll:
+            assert r["verdict"] == "new_unique" and r["best_match"] is None
+            continue
+        best = max(coll, key=lambda h: (
+            float(vecs[i] @ vecs[h]
+                  / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[h]))),
+            -h))
+        assert r["best_match"] == best, i
+        cos = float(vecs[i] @ vecs[best]
+                    / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[best])))
+        want = "near_dup" if cos >= SIM_THRESHOLD else "candidate_only"
+        assert r["verdict"] == want, i
+        n_near += r["verdict"] == "near_dup"
+    assert n_near > 0  # threshold band is populated on this corpus
