@@ -765,32 +765,42 @@ SELECT h, doc_id AS keeper_id FROM (
 
 def aj_asof_join(spark, sf):
     """As-of join (operator Spark lacks natively): each purchase event
-    matched to the latest prior 'view' by the same user. Composition of
-    existing ops: ranged equi join + per-left-row argmax window
-    (deterministic tiebreak ts DESC, event_id DESC). DuckDB also has a
-    native ASOF JOIN; the oracle uses the same window formulation so
-    tie handling is identical. At scale: sort-merge on (user_id, ts)
-    with the window riding the join's partitioning — one shuffle."""
-    e = T(spark, sf, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
+    matched to the latest prior 'view' by the same user (v_ts <= p_ts,
+    tiebreak v_ts DESC then v_id DESC). Sort-based formulation: union
+    both event kinds into ONE stream, sort each user's events by
+    (ts, is_purchase, event_id) — views before purchases at equal ts,
+    so same-instant views qualify, and among equal-ts views the max
+    event_id sorts last — then a running last(view_id, ignorenulls)
+    window carries the as-of match to each purchase row. ONE shuffle
+    (hash on user_id), ZERO join: the naive ranged-join + argmax plan
+    materializes n_views x n_purchases rows PER USER before pruning —
+    one bot user with 1e6 views and 1e5 purchases is 1e11 intermediate
+    rows — while this plan is strictly linear in that user's events.
+    The oracle keeps the per-purchase argmax window formulation so tie
+    handling is checked cross-engine, not shared."""
+    e = T(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "purchase"))
+    ev = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(F.col("event_type") == "view",
+               F.col("event_id")).alias("view_id"),
     )
-    v = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("v_ts"),
-        F.col("event_id").alias("v_id"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = p.join(
-        v, (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts")), "inner")
-    w = Window.partitionBy("p_id").orderBy(
-        F.desc("v_ts"), F.desc("v_id"))
     return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("p_id", F.col("v_id").alias("asof_view_id"))
+        ev.withColumn(
+            "last_view", F.last("view_id", ignorenulls=True).over(w))
+        .filter((F.col("is_p") == 1) & F.col("last_view").isNotNull())
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("last_view").alias("asof_view_id"),
+        )
     )
 
 

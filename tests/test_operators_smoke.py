@@ -86,6 +86,116 @@ def test_new_query_plan_shapes(spark, registry):
     assert "CartesianProduct" not in p
 
 
+def test_asof_and_packing_plan_budgets(spark, registry):
+    """Pin the PLANS.md shuffle budgets for the as-of join and the
+    GPT-packing family so a refactor cannot silently regress them.
+
+    - aj_asof_join: the sort-based running-last-view plan — exactly
+      one Exchange (hash on user_id), NO join operator of any kind
+      (the ranged-join formulation it replaces materializes
+      n_views x n_purchases rows per user before its argmax prunes).
+    - tx_pack_payloads: at most 3 hash Exchanges, of which only two
+      carry token payload (bucket re-sort + seq regroup; the third is
+      the alphabet-of-buckets totals agg), and exactly one
+      SinglePartition Exchange whose input is the tiny per-bucket
+      totals table, never the token arrays.
+    - tx_pack_sequences: at most 2 hash Exchanges, exactly one
+      SinglePartition over bucket totals; the raw text/token columns
+      never cross any Exchange (n_tokens is computed in the scan
+      project)."""
+    queries, _ = registry
+
+    def plan(name):
+        return (queries[name](spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    p = plan("aj_asof_join")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, (j, p)
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
+    assert "Window" in p
+
+    def single_partition_feeds_bucket_totals(plan_str):
+        lines = plan_str.splitlines()
+        idx = [i for i, ln in enumerate(lines)
+               if "Exchange SinglePartition" in ln]
+        assert len(idx) == 1, plan_str
+        child = lines[idx[0] + 1]
+        assert "bucket" in child and "toks" not in child, child
+
+    p = plan("tx_pack_payloads")
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    assert p.count("Exchange SinglePartition") == 1
+    single_partition_feeds_bucket_totals(p)
+    # payload (token-array) columns cross at most the two documented
+    # Exchanges: every OTHER hash Exchange's immediate child must not
+    # output a token array
+    payload_exchanges = 0
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln and i + 1 < len(lines):
+            sub = "\n".join(lines[i + 1:i + 3])
+            if "toks#" in sub or "part#" in sub or "buf#" in sub:
+                payload_exchanges += 1
+    assert payload_exchanges <= 2, p
+
+    p = plan("tx_pack_sequences")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert p.count("Exchange SinglePartition") == 1
+    single_partition_feeds_bucket_totals(p)
+    assert "toks#" not in p  # token arrays never materialize at all
+
+
+def test_asof_join_tie_semantics(spark):
+    """Crafted tie cases for the sort-based as-of rewrite, checked
+    against hand-computed expectations: (a) view at the SAME ts as the
+    purchase qualifies; (b) among equal-ts qualifying views the max
+    event_id wins; (c) a purchase with no prior view is dropped; (d) a
+    later view never leaks backward; (e) two purchases at the same ts
+    both match independently."""
+    import datetime as dt
+
+    from pdf_extraction_api_spark.operators.relational import (
+        aj_asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: views 10@t0 11@t5 12@t5, purchases 100@t5 101@t3
+        (10, ts(0), 1, "view"),
+        (11, ts(5), 1, "view"),
+        (12, ts(5), 1, "view"),
+        (100, ts(5), 1, "purchase"),
+        (101, ts(3), 1, "purchase"),
+        # user 2: purchase before any view → dropped; later view
+        (200, ts(1), 2, "purchase"),
+        (20, ts(2), 2, "view"),
+        (201, ts(2), 2, "purchase"),
+        (202, ts(2), 2, "purchase"),
+        # user 3: only a click event → contributes nothing
+        (30, ts(0), 3, "click"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING",
+    ).createOrReplaceTempView("_asof_tie_events")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.table("_asof_tie_events").write.mode("overwrite").parquet(
+            d + "/events.parquet")
+        got = {r.p_id: r.asof_view_id
+               for r in aj_asof_join(spark, d).collect()}
+    assert got == {100: 12, 101: 10, 201: 20, 202: 20}, got
+
+
 def test_registry_plan_lint(spark, registry):
     """No registry query may plan a CartesianProduct (unbounded pair
     blowup) or row-at-a-time Python (BatchEvalPython / scalar
