@@ -35,6 +35,11 @@ SCALE_LEVELS = tuple(
     int(x) for x in
     os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(","))
 CACHE_ROOT = Path(os.environ.get("SPARK_GRAFT_CACHE", "/tmp/spark_graft"))
+# steady-state reps per query; headline = per-query MIN. Raised 2→3 in
+# round 6: recorded rep pairs under host steal disagreed up to 3.3x on
+# the SAME plan (BENCH_r05 mm_image_metrics [5.278, 1.584]), so two
+# reps were not enough for the min to reliably catch a clean slot.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 BYTES_PER_DOC = 1900  # median generated html size (measured)
@@ -184,10 +189,11 @@ def headline_queries(
             d.write.format("noop").mode("overwrite").save()
 
         run()  # cold run: codegen + footer reads + broadcast build
-        # min-of-2 steady-state reps: this VM's vCPU steal swings
-        # single-shot numbers up to 8x (round-1 driver bench read 4x
-        # below the recorded baseline); the min is the least-interfered
-        reps = [_timed(run), _timed(run)]
+        # min-of-BENCH_REPS steady-state reps: this VM's vCPU steal
+        # swings single-shot numbers up to 8x (round-1 driver bench
+        # read 4x below the recorded baseline) and same-plan rep pairs
+        # have disagreed 3.3x; the min is the least-interfered run
+        reps = [_timed(run) for _ in range(BENCH_REPS)]
         times[name] = min(reps)
         reps_detail[name] = reps
     return times, reps_detail
@@ -207,10 +213,10 @@ def default_bench() -> dict:
         warm = ensure_corpus(spark, 8000)
         corpus = ensure_corpus(spark, BENCH_DOCS)
         run_extraction_job(spark, warm)  # warm JVM + python workers
-        # min-of-2 reps (same rationale as headline_queries / --scaling)
+        # min-of-BENCH_REPS (same rationale as headline_queries)
         extract_reps = [
-            _timed(lambda: run_extraction_job(spark, corpus)),
-            _timed(lambda: run_extraction_job(spark, corpus)),
+            _timed(lambda: run_extraction_job(spark, corpus))
+            for _ in range(BENCH_REPS)
         ]
         t_extract = min(extract_reps)
         docs_per_sec = round(BENCH_DOCS / t_extract, 1)
@@ -220,16 +226,25 @@ def default_bench() -> dict:
         reps_detail = {"extract_corpus": extract_reps, **reps_detail}
         total = round(sum(queries.values()), 3)
         ceiling_end = machine_cpu_ceiling(*SCALE_LEVELS)
+        # self-interpreting headline: the wall-clock total scaled by
+        # the window's measured CPU ceiling (midpoint of the two
+        # no-Spark spin-scaling probes, capped at 1.0). In a clean
+        # window (ceiling ~1.0) it equals the raw total; in a stolen
+        # window it estimates what the same run would read at
+        # ceiling=1.0 so round-over-round artifacts compare without
+        # out-of-band context. Raw `value` stays the official number.
+        ceiling_mid = min(1.0, (ceiling_start + ceiling_end) / 2)
         return {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
+            "headline_normalized": round(total * ceiling_mid, 3),
             "queries": queries,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "extract_docs": BENCH_DOCS,
             "extract_docs_per_sec": docs_per_sec,
             "cpus": CPUS,
-            "reps": 2,
+            "reps": BENCH_REPS,
             # both rep times per query: disagreement between the two
             # reps of the SAME plan bounds the host-noise error bar
             # for that query in this window.

@@ -360,8 +360,24 @@ def kmeans_cells(e: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
     vector table per iteration, ×(iters+1)). The cosine expression
     is unchanged, struct comparison orders by (ccos, -cell) =
     exactly the old (cos DESC, cell ASC) tie-break, so assignments
-    are bit-identical and the oracle is untouched."""
-    base = _with_norm(e, "embedding", "c")  # c_id, c_v, c_norm
+    are bit-identical and the oracle is untouched.
+
+    Round-6 plan change: the normed vector table is localCheckpointed
+    ONCE and reused by every Lloyd pass (previously each of the
+    N_ITERS+1 assignment passes and N_ITERS+1 centroid aggregations
+    re-scanned parquet and re-derived the norms), and each tiny
+    (k-row) centroid table plus the final (m_id, m_cell) assignment
+    is checkpointed so consumers that reference `final` several times
+    in one DAG (dd_semdedup joins it on both pair sides) don't
+    re-execute the whole Lloyd chain per reference. This is the
+    classic Lloyd working-set trade: cache the corpus once, pay zero
+    extra scans per iteration. On a real cluster the same line is
+    persist(MEMORY_AND_DISK) — localCheckpoint here also truncates
+    lineage so the plan the consumers compile stays flat. Values are
+    bit-identical: centroid coords were already rounded to 9 decimals
+    exactly so partition-order summation noise cannot leak into
+    assignments."""
+    base = _with_norm(e, "embedding", "c").localCheckpoint()
 
     def assign(cent: DataFrame) -> DataFrame:
         """(c_id, embedding, cell): nearest centroid by cosine."""
@@ -385,13 +401,18 @@ def kmeans_cells(e: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
                     (-best["negcell"]).cast("long").alias("cell"))
         )
 
-    cent = _label_centroids(e, dim).select(
-        F.col("c_label").cast("long").alias("cell"), "cvec")
+    seed = base.select(F.col("c_label").alias("label"),
+                       F.col("c_v").alias("embedding"))
+    cent = _label_centroids(seed, dim).select(
+        F.col("c_label").cast("long").alias("cell"), "cvec"
+    ).localCheckpoint()
     for _ in range(N_KMEANS_ITERS):
         assigned = assign(cent)
-        cent = _label_centroids(assigned, dim, key="cell", out="cell")
+        cent = _label_centroids(
+            assigned, dim, key="cell", out="cell").localCheckpoint()
     final = assign(cent).select(
-        F.col("c_id").alias("m_id"), F.col("cell").alias("m_cell"))
+        F.col("c_id").alias("m_id"),
+        F.col("cell").alias("m_cell")).localCheckpoint()
     return final, cent
 
 
