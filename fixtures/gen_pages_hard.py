@@ -33,6 +33,9 @@ byte-parity evidence beyond the clean fixture families:
   attribute soup (commas/newlines inside one attribute value),
   numeric-entity-encoded angle brackets that must stay TEXT
 - <svg> islands incl. foreignObject carrying real HTML (all skipped)
+- <iframe srcdoc="..."> whole escaped documents inside one attribute
+  value (raw markup between quotes, unquoted/unterminated variants,
+  nested iframes — attribute scanner must not end the tag early)
 - MathML islands (unknown-tag text flow), <template> shadow content
   (skip container, incl. unterminated), percent-encoded UTF-8 hrefs
   and data-URI payload blobs
@@ -331,6 +334,48 @@ def _template_block(rng: random.Random) -> str:
     return f"<template>{inner}{close}<p>{_prose(rng, 8)}</p>"
 
 
+def _srcdoc_iframe(rng: random.Random) -> str:
+    """<iframe srcdoc="..."> — an entire mini-document inside ONE
+    attribute value. iframe is NOT a skip container in either kernel
+    (its fallback text flows) and attribute values never become text,
+    so the whole srcdoc payload must vanish — but only if the
+    attribute scanner survives raw '<', '>' and newlines inside the
+    quoted value (a naive find('>') tokenizer ends the tag inside the
+    payload and leaks half a document as text). Variants: double- and
+    single-quoted payloads with raw markup + entity-escaped
+    &lt;/iframe&gt;, embedded quotes of the other kind, an UNQUOTED
+    srcdoc value (ends at first whitespace/'>'), nested iframes, and
+    an unterminated-quote tail (the open quote eats the rest of the
+    document — HTMLParser never completes the tag; parity pins that)."""
+    fall = _prose(rng, rng.randint(3, 10))
+    payload = (
+        "<!DOCTYPE html><html><body><p>"
+        + _prose(rng, rng.randint(4, 14))
+        + "</p><table border=1><tr><td>sd1</td><td>sd2</td></tr>"
+        + "</table>&lt;/iframe&gt;<div class=footer-links>"
+        + _prose(rng, 4) + "</div></body></html>")
+    variant = rng.randrange(5)
+    if variant == 0:        # double-quoted, newlines inside the value
+        sep = "\n " if rng.random() < 0.4 else " "
+        return (f'<iframe{sep}width="600"{sep}srcdoc="{payload}"'
+                f'{sep}loading=lazy>{fall}</iframe>'
+                f"<p>{_prose(rng, 8)}</p>")
+    if variant == 1:        # single-quoted, double quotes inside
+        inner = payload.replace("border=1", 'border="1" class="x y"')
+        return (f"<iframe srcdoc='{inner}' sandbox>{fall}</iframe>"
+                f"<p>{_prose(rng, 8)}</p>")
+    if variant == 2:        # unquoted value: ends at whitespace/'>'
+        return (f"<iframe srcdoc=&lt;p&gt;x&lt;/p&gt; title=t>"
+                f"{fall}</iframe><p>{_prose(rng, 8)}</p>")
+    if variant == 3:        # nested iframes, both with srcdoc
+        return (f'<iframe srcdoc="<p>outer {payload}">'
+                f'<iframe srcdoc="<b>inner</b>">{fall}</iframe>'
+                f"</iframe><p>{_prose(rng, 8)}</p>")
+    # unterminated quote: swallows the rest of this fragment
+    return (f'<iframe srcdoc="{payload}<p>never closed '
+            f"<p>{_prose(rng, 6)}</p>")
+
+
 def _pct_encoded_links(rng: random.Random) -> str:
     """Percent-encoded UTF-8 and raw unicode in hrefs + data-URI
     payload blobs — URL bytes must never leak into extracted text."""
@@ -514,7 +559,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(28)
+        kind = rng.randrange(29)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -572,6 +617,8 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_table_sections(rng))
         elif kind == 26:
             parts.append(_widget_soup(rng))
+        elif kind == 27:
+            parts.append(_srcdoc_iframe(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
