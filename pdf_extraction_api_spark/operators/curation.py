@@ -121,12 +121,16 @@ WHERE r.rank <= {DOMAIN_CAP}
 
 def tx_top_ngram_frac(spark, sf):
     """Gopher top-n-gram rule (Rae et al. 2021 §A1.1, n=2): the
-    fraction of a document's characters covered by occurrences of its
-    single most frequent word 2-gram (count × len(gram) / chars of the
-    space-joined token stream). High values mark degenerate repetition
-    ("click here click here …") that the duplicate-TRIGRAM fraction in
-    tx_gopher_quality under-weights. Tie-break: highest count, then
-    lexicographically smallest gram.
+    occurrence-mass ratio of a document's single most frequent word
+    2-gram — count × len(gram) / chars of the space-joined token
+    stream. NOTE: occurrences of a self-overlapping bigram are each
+    counted in full, so the ratio can exceed 1.0 (tokens ['a','a','a']
+    → 2×3/5 = 1.2); it is a repetition score, not a strict
+    "fraction of characters covered" (both engines compute the same
+    formula, so cross-engine parity is exact). High values mark
+    degenerate repetition ("click here click here …") that the
+    duplicate-TRIGRAM fraction in tx_gopher_quality under-weights.
+    Tie-break: highest count, then lexicographically smallest gram.
 
     Plan: posexplode-free bigram generation (sequence + element_at,
     all JVM HOFs) → one map-side-combinable (doc, gram) count → a

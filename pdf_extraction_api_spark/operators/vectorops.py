@@ -673,12 +673,19 @@ def dd_incremental_embed(spark, sf):
     but below the threshold — the LSH false-positive band), or
     new_unique (no collision).
 
-    Scale shape: the new batch broadcasts, history STREAMS through a
-    broadcast hash join on the signature and is never shuffled (in
+    Scale shape: history never initiates a shuffle of its own — the
+    intent is a broadcast hash join on the signature with the NEW
+    batch as build side, so the historical corpus STREAMS (in
     production the historical signature table is the persisted
-    catalog relation — the dd_incremental seam); exact cosine runs
-    only on collision rows, and the best-match pick is a struct-max
-    aggregate ((cos, -hid) — the kmeans argmax trick), not a window."""
+    catalog relation — the dd_incremental seam). The broadcast is
+    left to AQE rather than forced with F.broadcast: a real crawl
+    batch is bounded and AQE picks BHJ from its measured size, but
+    this test harness defines "new" as vec_id % 5 == 0 — a fixed 20%
+    of the whole corpus — and a forced broadcast hint would grow
+    linearly with corpus size and blow executor memory at scale-up.
+    Exact cosine runs only on collision rows, and the best-match pick
+    is a struct-max aggregate ((cos, -hid) — the kmeans argmax
+    trick), not a window."""
     e = T(spark, sf, "embeddings")
     signed = e.select("vec_id", "embedding", _sig_col().alias("sig"))
     is_new = F.col("vec_id") % NEW_VEC_MOD == 0
@@ -696,7 +703,7 @@ def dd_incremental_embed(spark, sf):
     new = normed(signed.filter(is_new), "q")
     hist = normed(signed.filter(~is_new), "c")
     coll = (
-        hist.join(F.broadcast(new), "sig")
+        hist.join(new, "sig")
         .select(
             "q_id", F.col("c_id").alias("hid"),
             (_cosine("q_v", "c_v")
