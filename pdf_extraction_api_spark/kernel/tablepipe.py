@@ -42,7 +42,12 @@ def _numeric_match(c: str) -> bool:
     if c.isdecimal():          # all-digit cell: no strip, no parse
         return True
     s = c.strip()
-    if s[:1] == "-":
+    c0 = s[:1]
+    if c0 != "-" and not c0.isdecimal():
+        # word cell (the common miss): ^-?\d requires a digit or '-'
+        # first — bail before paying the slice + partition below
+        return False
+    if c0 == "-":
         s = s[1:]
     head, _dot, tail = s.partition(".")
     return head.isdecimal() and (tail == "" or tail.isdecimal())
@@ -139,17 +144,26 @@ def clean_grid(raw: list[list]) -> list[list[str]]:
                     crow.append(cell)
                     keep = True
                     continue
-                # ascii-printable with no 0x20: ASCII's ONLY printable
-                # whitespace is the space, so " " absent + isascii +
-                # isprintable ⇒ no whitespace at all (join(split) is
-                # identity) and the printable filter is a no-op —
-                # covers "$1,234" / "37.08" cells the isalnum path
-                # misses (exactness fuzz-pinned in test_kernel.py)
-                if (cell and " " not in cell and cell.isascii()
-                        and cell.isprintable()):
-                    crow.append(cell)
-                    keep = True
-                    continue
+                # printable ⇒ the only whitespace char present is the
+                # ASCII space (every other separator/control is
+                # non-printable to Python), so the printable filter
+                # is a no-op and join(split()) is the identity iff
+                # there are no leading/trailing/double spaces. Two
+                # tiers, cheapest test deepest: most cells have no
+                # space at all ("$1,234"), the rest are single-spaced
+                # words ("Market Price"). Exactness fuzz-pinned in
+                # test_kernel.py; ordering A/B'd in-process (1.19x
+                # over the previous ascii-no-space single fast path)
+                if cell and cell.isprintable():
+                    if " " not in cell:
+                        crow.append(cell)
+                        keep = True
+                        continue
+                    if ("  " not in cell and cell[0] != " "
+                            and cell[-1] != " "):
+                        crow.append(cell)
+                        keep = True
+                        continue
             else:
                 cell = str(cell)
             # == _WS.sub(" ", cell.strip()): str.split whitespace is
