@@ -428,7 +428,9 @@ def ann_ivf_kmeans(spark, sf):
     Scale shape: each iteration is one broadcast-assign (the centroid
     table is k rows) + one map-side-combinable per-dim avg — no
     iteration-over-collect, no cross join; vectors shuffle only on
-    their assigned cell id."""
+    their assigned cell id. Round 6: the shared kmeans_cells core now
+    localCheckpoints the normed corpus once across all Lloyd passes
+    (values bit-identical, ~2x warm at sf0.1 — PLANS.md)."""
     e = T(spark, sf, "embeddings")
     dim = _dim_of(e)
     final, cent = kmeans_cells(e, dim)
