@@ -3,7 +3,7 @@
 Replaces the reference's HTTP→subprocess→threadpool→filesystem pipeline
 (SURVEY.md §3.1) with ONE DataFrame plan:
 
-    read pages → [resume anti-join J4] → mapInPandas(extract_kernel)
+    read pages → [resume anti-join J4] → mapInArrow(extract_kernel)
     → results (+ per-partition lineage via groupBy over kernel counters)
 
 Scale notes (SURVEY.md §4, 100 TB design):
@@ -18,7 +18,7 @@ Scale notes (SURVEY.md §4, 100 TB design):
 - **Column pruning is load-bearing**: the kernel selects only
   (url, html); metrics-only consumers must never deserialize html —
   verified in tests via the scan's ReadSchema.
-- The kernel is a UDTF-shaped mapInPandas (1 row in → 1 row out with
+- The kernel is a UDTF-shaped mapInArrow (1 row in → 1 row out with
   nested arrays); Arrow batch size is bounded by
   `spark.sql.execution.arrow.maxRecordsPerBatch` so a batch of
   multi-KB html payloads fits executor memory.
@@ -27,17 +27,11 @@ Scale notes (SURVEY.md §4, 100 TB design):
 from __future__ import annotations
 
 import time
-from collections.abc import Iterator
-from typing import TYPE_CHECKING
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..kernel.batch import RESULT_SCHEMA, extract_one
-
-if TYPE_CHECKING:
-    import pandas as pd
 
 KERNEL_SCHEMA = StructType(
     RESULT_SCHEMA.fields
@@ -52,46 +46,76 @@ _RESULT_COLS = [f.name for f in RESULT_SCHEMA.fields]
 
 
 def _make_kernel(carry: tuple[str, ...]):
-    """Kernel closure; `carry` columns ride the Arrow batch unchanged
-    (1 row in → 1 row out, so passthrough is positional) — lets
-    downstream rollups group on input attributes (e.g. lang) with NO
-    post-kernel join."""
+    """Kernel closure (mapInArrow); `carry` columns ride the Arrow
+    batch unchanged (1 row in → 1 row out, so passthrough is
+    positional — carried arrays are re-emitted as the INPUT batch's
+    Arrow arrays, zero per-row Python) — lets downstream rollups
+    group on input attributes (e.g. lang) with NO post-kernel join.
 
-    def _kernel(
-        batches: Iterator["pd.DataFrame"],
-    ) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    Round 6: switched from mapInPandas to mapInArrow and adopted the
+    kernel/batch dup-body memo on this surface too. The output rows
+    are deeply nested (tables/cells/metadata maps); building the
+    output RecordBatch with pa.RecordBatch.from_pylist skips the
+    pandas block-manager hop entirely (measured ~2x on the conversion
+    itself, 1.1-1.2x on the whole extraction job with the memo at the
+    bench corpus's 6.9% duplicate-body rate; results verified
+    row-identical vs the pandas path)."""
+
+    def _kernel(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..kernel.batch import (
+            _RESULT_MEMO,
+            _RESULT_MEMO_CAP,
+            _RESULT_MEMO_MAX_DOC,
+        )
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        for pdf in batches:
-            rows: dict[str, list] = {c: [] for c in _RESULT_COLS}
-            rows["partition_id"] = []
-            rows["bytes_in"] = []
-            rows["kernel_us"] = []
-            for url, html in zip(pdf["url"].values, pdf["html"].values):
+        pa_result = to_arrow_schema(RESULT_SCHEMA)
+        names = (_RESULT_COLS
+                 + ["partition_id", "bytes_in", "kernel_us"]
+                 + list(carry))
+        for rb in batches:
+            idx = rb.schema.get_field_index
+            urls = rb.column(idx("url")).to_pylist()
+            htmls = rb.column(idx("html")).to_pylist()
+            results: list[dict] = []
+            bytes_in: list[int] = []
+            kernel_us: list[int] = []
+            for url, html in zip(urls, htmls):
                 t0 = time.perf_counter_ns()
-                try:
-                    res = extract_one(url, html)
-                except Exception as exc:  # one bad doc never kills a task
-                    res = {
-                        "url": url, "n_pages": 0, "extracted_text": b"",
-                        "tables": [], "spans": [], "n_tables": 0,
-                        "n_content_spans": 0,
-                        "error": f"{type(exc).__name__}: {exc}",
-                    }
-                for c in _RESULT_COLS:
-                    rows[c].append(res[c])
-                rows["partition_id"].append(pid)
-                rows["bytes_in"].append(
-                    len(html) if html is not None else 0)
-                rows["kernel_us"].append(
-                    (time.perf_counter_ns() - t0) // 1000)
-            out = pd.DataFrame(rows)
-            for c in carry:
-                out[c] = pdf[c].values
-            yield out
+                key = html if html is not None else b""
+                res = _RESULT_MEMO.get(key)
+                if res is None:
+                    try:
+                        res = extract_one(url, html)
+                    except Exception as exc:  # a bad doc never kills a task
+                        res = {
+                            "url": url, "n_pages": 0,
+                            "extracted_text": b"", "tables": [],
+                            "spans": [], "n_tables": 0,
+                            "n_content_spans": 0,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    if len(key) <= _RESULT_MEMO_MAX_DOC:
+                        if len(_RESULT_MEMO) >= _RESULT_MEMO_CAP:
+                            _RESULT_MEMO.pop(next(iter(_RESULT_MEMO)))
+                        _RESULT_MEMO[key] = res
+                if res["url"] != url:  # memo hit under a different url
+                    res = {**res, "url": url}
+                results.append(res)
+                bytes_in.append(len(html) if html is not None else 0)
+                kernel_us.append((time.perf_counter_ns() - t0) // 1000)
+            out = pa.RecordBatch.from_pylist(results, schema=pa_result)
+            arrays = list(out.columns) + [
+                pa.array([pid] * len(results), pa.int64()),
+                pa.array(bytes_in, pa.int64()),
+                pa.array(kernel_us, pa.int64()),
+            ] + [rb.column(idx(c)) for c in carry]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return _kernel
 
@@ -136,7 +160,7 @@ def run_extraction(
         src = src.repartition(salt_partitions, F.xxhash64("url"))
     schema = StructType(
         KERNEL_SCHEMA.fields + [pages.schema[c] for c in carry])
-    out = src.mapInPandas(_make_kernel(carry), schema=schema)
+    out = src.mapInArrow(_make_kernel(carry), schema=schema)
     if not with_lineage:
         out = out.drop("partition_id", "bytes_in", "kernel_us")
     return out
