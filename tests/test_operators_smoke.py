@@ -147,6 +147,25 @@ def test_asof_and_packing_plan_budgets(spark, registry):
     assert "toks#" not in p  # token arrays never materialize at all
 
 
+def test_asof_two_parallelism_determinism(spark, registry):
+    """The round-6 sort-based as-of plan returns identical rows at 2
+    vs 32 shuffle partitions (the in-session N vs 4N proxy — same
+    convention as test_determinism_across_parallelism): the window
+    order (ts, is_purchase, event_id) is a total order, so the
+    running last(view_id) is partitioning-insensitive."""
+    queries, _ = registry
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = sorted(
+                map(tuple, queries["aj_asof_join"](spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results["2"] == results["32"] and results["2"]
+
+
 def test_asof_join_tie_semantics(spark):
     """Crafted tie cases for the sort-based as-of rewrite, checked
     against hand-computed expectations: (a) view at the SAME ts as the
