@@ -72,6 +72,45 @@ def test_determinism_across_parallelism(spark, golden_map):
     assert low == high == golden_map
 
 
+def test_dup_body_memo_preserves_urls(spark, tmp_path):
+    """The round-6 plan-path dup-body memo caches kernel results by
+    html BYTES; a memo hit under a DIFFERENT url must re-stamp the
+    url while sharing the body results. Three urls share one body in
+    one partition (so one worker's memo serves all three) — each
+    output row must carry its own url, identical extraction, and the
+    url must never leak from the first-seen row."""
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_api_spark.plans.extract import (
+        load_pages,
+        run_extraction,
+    )
+
+    rows = pq.read_table(PAGES).to_pylist()[:4]
+    shared = rows[0]["html"]
+    data = [
+        ("https://a.example/1", shared),
+        ("https://b.example/2", shared),
+        ("https://c.example/3", shared),
+        ("https://d.example/other", rows[1]["html"]),
+    ]
+    spark.createDataFrame(
+        data, "url STRING, html BINARY"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p"))
+    out = {
+        r["url"]: r
+        for r in run_extraction(
+            load_pages(spark, str(tmp_path / "p")), with_lineage=False
+        ).collect()
+    }
+    assert set(out) == {u for u, _ in data}
+    bodies = {u: (bytes(out[u]["extracted_text"]), out[u]["n_tables"])
+              for u in out}
+    assert (bodies["https://a.example/1"]
+            == bodies["https://b.example/2"]
+            == bodies["https://c.example/3"])
+
+
 def test_column_pruning_reaches_scan(spark):
     """Metrics-only consumers must not deserialize html (SURVEY.md §4):
     the kernel input scan must read only url+html; a count over results
