@@ -36,6 +36,10 @@ byte-parity evidence beyond the clean fixture families:
 - <iframe srcdoc="..."> whole escaped documents inside one attribute
   value (raw markup between quotes, unquoted/unterminated variants,
   nested iframes — attribute scanner must not end the tag early)
+- obsolete-web soup: <xmp>/<listing>/<plaintext> (rawtext in
+  browsers, ordinary containers to both kernels — shared rule
+  pinned), <marquee>/<blink>/<center>/<font>, spurious void closes
+  (</br> </img> </hr>)
 - MathML islands (unknown-tag text flow), <template> shadow content
   (skip container, incl. unterminated), percent-encoded UTF-8 hrefs
   and data-URI payload blobs
@@ -376,6 +380,36 @@ def _srcdoc_iframe(rng: random.Random) -> str:
             f"<p>{_prose(rng, 6)}</p>")
 
 
+def _legacy_tags(rng: random.Random) -> str:
+    """Obsolete-web soup, common in old crawled pages: legacy rawtext
+    lookalikes (<xmp>, <listing>, <plaintext> — RAWTEXT in browsers,
+    ordinary unknown containers to html.parser and hence to BOTH
+    kernels: their inner markup parses normally; parity pins the
+    shared rule), presentational relics (<marquee>, <blink>,
+    <center>, <font size=...>), and spurious close tags for void
+    elements (</br>, </img>, </hr> — ignored: no matching open on
+    the stack)."""
+    variant = rng.randrange(4)
+    if variant == 0:
+        inner = (f"<p>{_prose(rng, rng.randint(4, 12))}</p>"
+                 "<table><tr><td>x1</td><td>x2</td></tr></table>")
+        tag = rng.choice(["xmp", "listing", "plaintext"])
+        close = f"</{tag}>" if rng.random() < 0.7 else ""
+        return f"<{tag}>{inner}{close}<p>{_prose(rng, 6)}</p>"
+    if variant == 1:
+        return (f"<center><marquee behavior=alternate>"
+                f"{_prose(rng, rng.randint(5, 15))}</marquee>"
+                f"<blink>{_prose(rng, 4)}</blink></center>"
+                f'<font size="{rng.randint(1, 7)}" color=red>'
+                f"{_prose(rng, 10)}</font>")
+    if variant == 2:
+        return (f"<p>{_prose(rng, 8)}<br></br>{_prose(rng, 6)}"
+                f"</img></hr><br/>{_prose(rng, 5)}</p></br>")
+    return (f"<table border=1><tr><td><marquee>{_prose(rng, 4)}"
+            f"</marquee></td><td><xmp><b>not bold rawtext?</b></xmp>"
+            f"</td></tr></table>")
+
+
 def _pct_encoded_links(rng: random.Random) -> str:
     """Percent-encoded UTF-8 and raw unicode in hrefs + data-URI
     payload blobs — URL bytes must never leak into extracted text."""
@@ -559,7 +593,7 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
     if rng.random() < 0.04:  # rare: very-long single-line document
         parts.append(_megaline(rng))
     for _ in range(rng.randint(3, 10)):
-        kind = rng.randrange(29)
+        kind = rng.randrange(30)
         if kind == 0:
             parts.append(_deep_nav(rng))
         elif kind == 1:
@@ -619,6 +653,8 @@ def gen_hard_row(doc_id: int, seed: int = 1042) -> dict:
             parts.append(_widget_soup(rng))
         elif kind == 27:
             parts.append(_srcdoc_iframe(rng))
+        elif kind == 28:
+            parts.append(_legacy_tags(rng))
         else:
             parts.append(
                 f'<section data-page="{rng.randint(1, 4)}">'
