@@ -96,12 +96,36 @@ def extract_one(url: str, html: bytes) -> dict:
 # different urls (6.9% on the synthetic bench corpus; 20-40% on real
 # crawls), and the kernel is a pure function of the bytes, so repeats
 # skip the parse entirely. Per worker process (reused across Arrow
-# batches), FIFO-bounded, mega-docs excluded to bound entry size.
-# Cached values are shared read-only references — nothing downstream
-# mutates a result row after extract_one.
+# batches); mega-docs excluded to bound entry size. Bounded BOTH by
+# entry count and by an input-bytes budget (result size tracks input
+# size) — the count cap alone admitted a ~256 MiB/worker worst case
+# (1024 x 256 KiB bodies), too much times 1000 executors. Cached
+# values are shared read-only references — nothing downstream mutates
+# a result row after extract_one.
 _RESULT_MEMO: dict[bytes, dict] = {}
 _RESULT_MEMO_CAP = 1024
-_RESULT_MEMO_MAX_DOC = 1 << 18  # don't cache >256 KiB bodies
+_RESULT_MEMO_MAX_DOC = 1 << 18       # don't cache >256 KiB bodies
+_RESULT_MEMO_MAX_BYTES = 32 << 20    # FIFO-evict past 32 MiB of keys
+_memo_bytes = 0
+
+
+def memo_get(key: bytes) -> dict | None:
+    return _RESULT_MEMO.get(key)
+
+
+def memo_put(key: bytes, row: dict) -> None:
+    """FIFO-bounded insert under both caps; oversized bodies skipped."""
+    global _memo_bytes
+    if len(key) > _RESULT_MEMO_MAX_DOC:
+        return
+    while _RESULT_MEMO and (
+            len(_RESULT_MEMO) >= _RESULT_MEMO_CAP
+            or _memo_bytes + len(key) > _RESULT_MEMO_MAX_BYTES):
+        oldest = next(iter(_RESULT_MEMO))
+        del _RESULT_MEMO[oldest]
+        _memo_bytes -= len(oldest)
+    _RESULT_MEMO[key] = row
+    _memo_bytes += len(key)
 
 
 def extract_batches(
@@ -116,7 +140,7 @@ def extract_batches(
         out: dict[str, list] = {c: [] for c in cols}
         for url, html in zip(pdf["url"].values, pdf["html"].values):
             key = bytes(html) if html is not None else b""
-            row = _RESULT_MEMO.get(key)
+            row = memo_get(key)
             if row is None:
                 try:
                     row = extract_one(url, html)
@@ -127,10 +151,7 @@ def extract_batches(
                         "n_content_spans": 0,
                         "error": f"{type(exc).__name__}: {exc}",
                     }
-                if len(key) <= _RESULT_MEMO_MAX_DOC:
-                    if len(_RESULT_MEMO) >= _RESULT_MEMO_CAP:
-                        _RESULT_MEMO.pop(next(iter(_RESULT_MEMO)))
-                    _RESULT_MEMO[key] = row
+                memo_put(key, row)
             out["url"].append(url)
             for c in body_cols:
                 out[c].append(row[c])

@@ -66,11 +66,7 @@ def _make_kernel(carry: tuple[str, ...]):
         from pyspark import TaskContext
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from ..kernel.batch import (
-            _RESULT_MEMO,
-            _RESULT_MEMO_CAP,
-            _RESULT_MEMO_MAX_DOC,
-        )
+        from ..kernel.batch import memo_get, memo_put
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
@@ -88,7 +84,7 @@ def _make_kernel(carry: tuple[str, ...]):
             for url, html in zip(urls, htmls):
                 t0 = time.perf_counter_ns()
                 key = html if html is not None else b""
-                res = _RESULT_MEMO.get(key)
+                res = memo_get(key)
                 if res is None:
                     try:
                         res = extract_one(url, html)
@@ -100,10 +96,7 @@ def _make_kernel(carry: tuple[str, ...]):
                             "n_content_spans": 0,
                             "error": f"{type(exc).__name__}: {exc}",
                         }
-                    if len(key) <= _RESULT_MEMO_MAX_DOC:
-                        if len(_RESULT_MEMO) >= _RESULT_MEMO_CAP:
-                            _RESULT_MEMO.pop(next(iter(_RESULT_MEMO)))
-                        _RESULT_MEMO[key] = res
+                    memo_put(key, res)
                 if res["url"] != url:  # memo hit under a different url
                     res = {**res, "url": url}
                 results.append(res)

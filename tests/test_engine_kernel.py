@@ -157,3 +157,28 @@ def test_memo_skips_mega_docs():
     pdf = pd.DataFrame({"url": ["m"], "html": [mega]})
     pd.concat(list(B.extract_batches(iter([pdf]))))
     assert len(B._RESULT_MEMO) == 0
+
+
+def test_memo_byte_budget_evicts_fifo():
+    """The memo is bounded by an input-bytes budget as well as the
+    entry count (round 6): 1000 executors x a worst-case 256 MiB
+    per-worker memo was the scale hazard the budget removes. FIFO
+    eviction keeps the accounting exact."""
+    from pdf_extraction_api_spark.kernel import batch as B
+
+    B._RESULT_MEMO.clear()
+    B._memo_bytes = 0
+    try:
+        body = 200 << 10  # within the per-doc cap
+        for i in range(300):  # 300 x 200 KiB >> 32 MiB budget
+            B.memo_put(i.to_bytes(4, "big") * (body // 4), {"url": i})
+        assert B._memo_bytes <= B._RESULT_MEMO_MAX_BYTES
+        assert len(B._RESULT_MEMO) < 300
+        # exact accounting: recompute from scratch
+        assert B._memo_bytes == sum(len(k) for k in B._RESULT_MEMO)
+        # newest entries survive (FIFO evicts oldest)
+        assert any(v["url"] == 299 for v in B._RESULT_MEMO.values())
+        assert not any(v["url"] == 0 for v in B._RESULT_MEMO.values())
+    finally:
+        B._RESULT_MEMO.clear()
+        B._memo_bytes = 0
