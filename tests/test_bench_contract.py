@@ -35,3 +35,9 @@ def test_bench_emits_one_json_line(tmp_path):
     assert payload["queries"] and all(
         isinstance(v, (int, float)) for v in payload["queries"].values())
     assert payload["extract_docs_per_sec"] > 0
+    # round-6 self-interpreting headline: normalized = raw total x
+    # the window's measured CPU-ceiling midpoint, capped at the raw
+    assert 0 < payload["headline_normalized"] <= payload["value"]
+    assert payload["reps"] >= 3
+    assert all(len(r) == payload["reps"]
+               for r in payload["queries_reps"].values())
