@@ -286,17 +286,22 @@ def dd_semdedup(spark, sf):
     only on candidates. Round 6: kmeans_cells checkpoints the normed
     corpus + final assignment, so referencing `final` on both pair
     sides no longer re-executes the Lloyd chain (1.9x warm at sf0.1,
-    values bit-identical — PLANS.md)."""
+    values bit-identical — PLANS.md); the checkpointed final now also
+    carries (vector, norm), so both pair sides read it directly —
+    zero parquet re-scans and zero norm recomputes after the Lloyd
+    passes."""
     e = T(spark, sf, "embeddings")
     dim = _dim_of(e)
     final, _cent = kmeans_cells(e, dim)
     cand = salted_bucket_pairs(
         final.select("m_cell", "m_id"), "m_cell", "m_id",
         EMBED_BUCKET_CAP)
-    a = _with_norm(e, "embedding", "q").select(
-        F.col("q_id").alias("doc_a"), "q_v", "q_norm")
-    b = _with_norm(e, "embedding", "c").select(
-        F.col("c_id").alias("doc_b"), "c_v", "c_norm")
+    a = final.select(
+        F.col("m_id").alias("doc_a"), F.col("m_v").alias("q_v"),
+        F.col("m_norm").alias("q_norm"))
+    b = final.select(
+        F.col("m_id").alias("doc_b"), F.col("m_v").alias("c_v"),
+        F.col("m_norm").alias("c_norm"))
     hits = (
         cand.join(a, "doc_a").join(b, "doc_b")
         .select(

@@ -349,7 +349,12 @@ def kmeans_cells(e: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
     core of ann_ivf_kmeans (IVF index build) and curation.dd_semdedup
     (the SemDeDup cluster stage). Deterministic: label-mean init,
     fixed iteration count, (cos DESC, cell ASC) tie-break. Returns
-    (final(m_id, m_cell), cent(cell, cvec)).
+    (final(m_id, m_cell, m_v, m_norm), cent(cell, cvec)) — final
+    carries the normed vector so consumers never re-scan parquet or
+    re-derive norms for the candidate side (the IVF index at
+    production scale IS assignment+vector persisted together; the
+    extra footprint is one more copy of the vectors, same class as
+    the normed-corpus checkpoint below).
 
     Round-5 plan change: assignment is a PURE MAP. The k centroids
     are collected into ONE array row (collect_list over a k-row
@@ -397,7 +402,7 @@ def kmeans_cells(e: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
             )))
         return (
             base.crossJoin(F.broadcast(cents))
-            .select("c_id", F.col("c_v").alias("embedding"),
+            .select("c_id", F.col("c_v").alias("embedding"), "c_norm",
                     (-best["negcell"]).cast("long").alias("cell"))
         )
 
@@ -412,7 +417,9 @@ def kmeans_cells(e: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
             assigned, dim, key="cell", out="cell").localCheckpoint()
     final = assign(cent).select(
         F.col("c_id").alias("m_id"),
-        F.col("cell").alias("m_cell")).localCheckpoint()
+        F.col("cell").alias("m_cell"),
+        F.col("embedding").alias("m_v"),
+        F.col("c_norm").alias("m_norm")).localCheckpoint()
     return final, cent
 
 
@@ -430,7 +437,9 @@ def ann_ivf_kmeans(spark, sf):
     iteration-over-collect, no cross join; vectors shuffle only on
     their assigned cell id. Round 6: the shared kmeans_cells core now
     localCheckpoints the normed corpus once across all Lloyd passes
-    (values bit-identical, ~2x warm at sf0.1 — PLANS.md)."""
+    (values bit-identical, ~2x warm at sf0.1 — PLANS.md), and the
+    candidate side reads (vector, norm) straight off the checkpointed
+    final assignment — the `_with_norm(e) ⋈ final` join is gone."""
     e = T(spark, sf, "embeddings")
     dim = _dim_of(e)
     final, cent = kmeans_cells(e, dim)
@@ -450,8 +459,9 @@ def ann_ivf_kmeans(spark, sf):
         .select("q_id", "q_v", "q_norm",
                 F.col("cell").alias("probe_cell"))
     )
-    cand = _with_norm(e, "embedding", "c").join(
-        final, F.col("c_id") == F.col("m_id"))
+    cand = final.select(
+        F.col("m_id").alias("c_id"), "m_cell",
+        F.col("m_v").alias("c_v"), F.col("m_norm").alias("c_norm"))
     scored = (
         probes.join(cand, (F.col("probe_cell") == F.col("m_cell"))
                     & (F.col("q_id") != F.col("c_id")))
