@@ -1751,7 +1751,108 @@ FROM canon2
 """
 
 
+# BM25 retrieval constants (Robertson/Sparck-Jones, public): k1/b the
+# textbook defaults, a fixed literal query so the op is deterministic.
+# The retrieval use in a training pipeline is eval-set decontamination
+# and targeted data selection ("find the docs most like this probe").
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+BM25_TERMS = ("spark", "vector", "stream", "customer", "window")
+
+
+def tx_bm25_topk(spark, sf):
+    """BM25 top-k retrieval over the corpus for a fixed query-term
+    set — the ranking primitive behind retrieval-based decontamination
+    and data selection. Per-term tf is computed map-side as
+    size(filter(toks)) over the broadcast term list (no explode, no
+    (doc, term) shuffle); N, sum(dl), and per-term document
+    frequencies all come from ONE partial-aggregated single-row stats
+    pass that broadcasts back; the final top-k is an ordered limit
+    (TakeOrderedAndProject — no global sort materializes). Net plan:
+    two linear corpus passes + a 1-row broadcast, zero wide shuffles.
+    Scores are rounded to 6 dp (the tx_trigram_ppl log-parity
+    convention) and ties break on doc_id via the rounded score, so
+    the top-k set is cross-engine deterministic."""
+    d = T(spark, sf, "documents")
+    toks = ws_tokens()
+    nt = len(BM25_TERMS)
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        # one-arg lambda factory: a two-arg lambda would receive the
+        # ARRAY INDEX as its second argument, not the closed-over term
+        *[F.size(F.filter(toks, (lambda t: lambda x: x == t)(t)))
+          .cast("long").alias(f"tf{i}")
+          for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(nt)],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def term(i):
+        # idf * saturated-tf; expression grouping mirrors the oracle
+        # token-for-token so the 6-dp rounding boundaries agree
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5)))
+        tf = F.col(f"tf{i}").cast("double")
+        return idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl))
+
+    score = term(0)
+    for i in range(1, nt):
+        score = score + term(i)
+    return (
+        base.join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_sql() -> str:
+    nt = len(BM25_TERMS)
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}" for i in range(nt))
+    terms = "\n      + ".join(
+        f"ln(1.0::DOUBLE + (n_docs - df{i} + 0.5::DOUBLE)"
+        f" / (df{i} + 0.5::DOUBLE))"
+        f" * (tf{i} * ({BM25_K1}::DOUBLE + 1.0::DOUBLE))"
+        f" / (tf{i} + {BM25_K1}::DOUBLE * (1.0::DOUBLE - {BM25_B}::DOUBLE"
+        f" + {BM25_B}::DOUBLE * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        for i in range(nt))
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {WS_TOKS_SQL} AS toks FROM documents)),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base),
+scored AS (
+  SELECT doc_id,
+    round({terms}, 6) AS bm25
+  FROM base, stats)
+SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
+    "tx_bm25_topk": (tx_bm25_topk, _bm25_sql()),
     "tx_pack_sequences": (tx_pack_sequences, TX_PACK_SQL),
     "tx_pack_payloads": (tx_pack_payloads, TX_PACK_PAYLOADS_SQL),
     "dd_url_canonical": (dd_url_canonical, DD_URL_CANONICAL_SQL),
