@@ -774,7 +774,112 @@ FROM new n LEFT JOIN best b ON b.q_id = n.vec_id
 """
 
 
+N_POWER_ITERS = 3  # power-iteration passes (fixed + unrolled in the oracle)
+
+
+def vec_pca_power(spark, sf):
+    """Top principal direction of the embedding cloud by power
+    iteration WITHOUT materializing the d×d covariance: v ← Σᵢ
+    xᵢ(xᵢ·v), normalize — each pass is one linear corpus scan with
+    d map-side-combinable sums (the classic Gram-free formulation),
+    so cost is O(N·d) per pass and the only state is the d-vector
+    itself, kept as a 1-row broadcast. Zero wide shuffles anywhere:
+    mean-centering broadcasts the 1-row mean vector, each iteration
+    broadcasts the 1-row v, and the output is a per-label rollup of
+    projections onto the converged axis (label separation along the
+    top axis — the embedding-drift / cluster-health signal a training
+    pipeline monitors). Deterministic: fixed v₀ = 1/√d, fixed
+    iteration count, v rounded to 9 dp after each normalize (the
+    kmeans_cells centroid convention — summation-order noise is ~1e-15
+    relative and cannot cross a 0.5e-9 boundary), so the DuckDB oracle
+    unrolls the same passes. The tiny v_t tables are localCheckpointed
+    (build is eager, kmeans_cells precedent); at production scale the
+    centered corpus would be persisted once and scanned T+2 times."""
+    import math
+
+    e = T(spark, sf, "embeddings")
+    dim = _dim_of(e)
+    mu = e.agg(*[
+        F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 9)
+        .alias(f"m{i}") for i in range(dim)
+    ]).select(F.array(*[F.col(f"m{i}") for i in range(dim)])
+              .alias("mv")).localCheckpoint()
+    cen = e.crossJoin(F.broadcast(mu)).select(
+        "vec_id", "label",
+        F.array(*[
+            F.element_at("embedding", i + 1).cast("double")
+            - F.element_at("mv", i + 1) for i in range(dim)
+        ]).alias("x"))
+    dot = F.aggregate(
+        F.zip_with("x", "v", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, y: acc + y)
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0 / math.sqrt(dim))] * dim).alias("v"))
+    for _ in range(N_POWER_ITERS):
+        wd = cen.crossJoin(F.broadcast(v)).select("x", dot.alias("dot"))
+        s = wd.agg(*[
+            F.sum(F.element_at("x", i + 1) * F.col("dot")).alias(f"s{i}")
+            for i in range(dim)
+        ])
+        ss = F.col("s0") * F.col("s0")
+        for i in range(1, dim):
+            ss = ss + F.col(f"s{i}") * F.col(f"s{i}")
+        v = s.withColumn("nrm", F.sqrt(ss)).select(
+            F.array(*[
+                F.round(F.col(f"s{i}") / F.col("nrm"), 9)
+                for i in range(dim)
+            ]).alias("v")).localCheckpoint()
+    proj = cen.crossJoin(F.broadcast(v)).select(
+        "label", dot.alias("proj"))
+    return proj.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("proj"), 6).alias("mean_proj"),
+        F.round(F.avg(F.abs(F.col("proj"))), 6).alias("mean_abs_proj"))
+
+
+def _pca_sql() -> str:
+    v0 = repr(1.0 / 8.0)  # 1/sqrt(DIM); exact binary double for DIM=64
+    its = []
+    prev = "v0"
+    for t in range(1, N_POWER_ITERS + 1):
+        its.append(f"""it{t} AS (
+  SELECT x, list_dot_product(x, {prev}.v) AS dot FROM cen, {prev}),
+s{t} AS (
+  SELECT t.pos AS dim, sum(x[t.pos + 1] * dot) AS s
+  FROM it{t}, LATERAL (SELECT unnest(range(len(x))) AS pos) t
+  GROUP BY t.pos),
+v{t} AS (
+  SELECT list(round(s / nrm, 9) ORDER BY dim) AS v
+  FROM s{t}, (SELECT sqrt(sum(s * s)) AS nrm FROM s{t}))""")
+        prev = f"v{t}"
+    unrolled = ",\n".join(its)
+    return f"""
+WITH dims AS (
+  SELECT pos AS dim, CAST(embedding[pos + 1] AS DOUBLE) AS vv
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS pos) t),
+mu AS (
+  SELECT list(m ORDER BY dim) AS mv
+  FROM (SELECT dim, round(avg(vv), 9) AS m FROM dims GROUP BY dim)),
+cen AS (
+  SELECT vec_id, label,
+         list_transform(range(len(embedding)),
+                        i -> CAST(embedding[i + 1] AS DOUBLE) - mv[i + 1])
+           AS x
+  FROM embeddings, mu),
+v0 AS (SELECT list_transform(range({DIM}), i -> {v0}::DOUBLE) AS v),
+{unrolled},
+proj AS (
+  SELECT label, list_dot_product(x, {prev}.v) AS proj FROM cen, {prev})
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(proj), 6) AS mean_proj,
+       round(avg(abs(proj)), 6) AS mean_abs_proj
+FROM proj GROUP BY label
+"""
+
+
 QUERIES = {
+    "vec_pca_power": (vec_pca_power, _pca_sql()),
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
     "ann_ivf_probe": (ann_ivf_probe, ANN_IVF_PROBE_SQL),

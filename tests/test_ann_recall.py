@@ -71,3 +71,56 @@ def test_ivf_probe_beats_own_cluster_on_isotropic_data(spark):
     r_probe = _recall(spark, sf, ann_ivf_probe, truth)
     r_label = _recall(spark, sf, ann_ivf_label, truth)
     assert r_probe >= r_label  # multi-probe can only widen the scan
+
+
+@pytest.fixture(scope="module")
+def axis_sf(spark, tmp_path_factory):
+    """Two labels separated by ±5 along axis 3 of 16 dims, isotropic
+    0.1-sigma noise elsewhere — the top principal axis is e3 by a huge
+    eigengap, so 3 power passes converge far past 6-dp rounding."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for vec_id in range(400):
+        label = vec_id % 2
+        v = rng.normal(size=16) * 0.1
+        v[3] += 5.0 if label == 0 else -5.0
+        rows.append((vec_id, int(label),
+                     [float(x) for x in v.astype(np.float32)]))
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, label LONG, embedding ARRAY<FLOAT>")
+    out = tmp_path_factory.mktemp("pcaaxis")
+    df.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_pca_power_recovers_dominant_axis(spark, axis_sf):
+    """vec_pca_power's converged axis separates the two planted labels
+    by ~10 units (±5 each side of the centered mean), up to PCA's
+    global sign ambiguity; mean_abs_proj ≈ 5 for both."""
+    from pdf_extraction_api_spark.operators.vectorops import vec_pca_power
+
+    got = {r.label: r for r in vec_pca_power(spark, axis_sf).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].n_vecs == got[1].n_vecs == 200
+    # opposite signs, magnitude ~5 each (noise contributes <0.1)
+    assert got[0].mean_proj * got[1].mean_proj < 0
+    for lbl in (0, 1):
+        assert 4.5 <= abs(got[lbl].mean_proj) <= 5.5
+        assert 4.5 <= got[lbl].mean_abs_proj <= 5.5
+
+
+def test_pca_power_two_parallelism_determinism(spark):
+    """9-dp rounding of v each pass + 6-dp output rounding absorb
+    summation-order noise: identical rows at 2 vs 32 partitions."""
+    from pdf_extraction_api_spark.operators.vectorops import vec_pca_power
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = {}
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            out[parts] = sorted(map(tuple, vec_pca_power(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert out["2"] == out["32"]
