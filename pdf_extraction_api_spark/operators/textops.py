@@ -1433,6 +1433,110 @@ LEFT JOIN near_hit nh ON nh.doc_id = n.doc_id
 """
 
 
+BLOOM_M = 8192   # bloom bits; small on purpose so sf0.01 exercises FPs
+BLOOM_K = 3      # hash functions per key
+
+
+def dd_bloom_incremental(spark, sf):
+    """Bloom-filter incremental exact dedup — the constant-memory way
+    to probe a new crawl batch against a 10^12-row history: the
+    history is folded into a FIXED-SIZE bit set (BLOOM_M bits, BLOOM_K
+    positions per key via independent md5-derived hashes), and a new
+    doc is `maybe_dup` iff ALL its K positions are set. No false
+    negatives by construction; false positives at the classic
+    (1-e^(-kn/m))^k rate — BLOOM_M is deliberately small here so the
+    sf0.01 corpus exercises real FPs, which the verdict column makes
+    visible by cross-checking exact membership (`false_positive` =
+    bloom hit whose md5 is NOT in history).
+
+    Scale shape: the filter is represented relationally as the
+    DISTINCT set of set bit positions — bounded by BLOOM_M rows
+    regardless of history size (the bitmap in join-able clothing), so
+    it BROADCASTS and membership is a broadcast-hash-join map over the
+    new batch; history is scanned once, map-side-distinct'd to <= M
+    values, and never reshuffled. In production the position set (or
+    the equivalent packed LongArray) is a persisted catalog artifact
+    appended per batch — same seam as incremental_verdicts; the exact
+    md5 probe here exists only to label FPs for the quality readout.
+    Batch split: doc_id % NEW_BATCH_MOD == 0 is the new batch, same
+    convention as dd_incremental. Reference parity: extends the
+    dedup family of enterprise_table_extractor_full.py (seen-hash
+    skip) to the bounded-memory streaming form."""
+    d = T(spark, sf, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+
+    def positions(df):
+        return df.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (F.conv(F.substring(F.md5(F.concat_ws(
+                        "|bloom|", F.lit(str(j)), "text")), 1, 15),
+                        16, 10).cast("long") % BLOOM_M).alias("pos"),
+                ) for j in range(BLOOM_K)
+            ])).alias("jp"),
+        ).select("doc_id", F.col("jp.j").alias("j"),
+                 F.col("jp.pos").alias("pos"))
+
+    bits = (positions(d.filter(~is_new))
+            .select("pos").distinct())          # <= BLOOM_M rows
+    hist_h = d.filter(~is_new).select(F.md5("text").alias("h")).distinct()
+    new = d.filter(is_new)
+    hits = (
+        positions(new)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("j").alias("n_hit"))
+    )
+    exact = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(F.broadcast(hist_h), "h")
+        .select("doc_id").withColumn("ex", F.lit(1))
+    )
+    return (
+        new.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(F.coalesce("n_hit", F.lit(0)) < BLOOM_K, "fresh")
+            .when(F.col("ex").isNotNull(), "dup")
+            .otherwise("false_positive").alias("verdict"),
+        )
+    )
+
+
+DD_BLOOM_SQL = f"""
+WITH ks AS (SELECT unnest(range({BLOOM_K})) AS j),
+pos AS (
+  SELECT doc_id, j,
+         CAST('0x' || substring(md5(CAST(j AS VARCHAR) || '|bloom|' || text),
+                                1, 15) AS BIGINT) % {BLOOM_M} AS pos
+  FROM documents, ks),
+bits AS (SELECT DISTINCT pos FROM pos
+         WHERE doc_id % {NEW_BATCH_MOD} <> 0),
+hist AS (SELECT DISTINCT md5(text) AS h FROM documents
+         WHERE doc_id % {NEW_BATCH_MOD} <> 0),
+new AS (SELECT doc_id, md5(text) AS h FROM documents
+        WHERE doc_id % {NEW_BATCH_MOD} = 0),
+hits AS (
+  SELECT p.doc_id, CAST(count(DISTINCT p.j) AS BIGINT) AS n_hit
+  FROM pos p JOIN bits b ON b.pos = p.pos
+  WHERE p.doc_id % {NEW_BATCH_MOD} = 0
+  GROUP BY p.doc_id)
+SELECT n.doc_id,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(h.n_hit, 0) < {BLOOM_K} THEN 'fresh'
+            WHEN e.h IS NOT NULL THEN 'dup'
+            ELSE 'false_positive' END AS verdict
+FROM new n
+LEFT JOIN hits h ON h.doc_id = n.doc_id
+LEFT JOIN hist e ON e.h = n.h
+"""
+
+
 PACK_CAP = 2048      # tokens per packed training sequence
 PACK_BUCKET = 256    # docs per prefix-sum bucket (see tx_pack_sequences)
 
@@ -1862,6 +1966,7 @@ QUERIES = {
     "dd_common_segments": (dd_common_segments, DD_SEGMENTS_SQL),
     "tx_curate": (tx_curate, _curate_sql()),
     "dd_incremental": (dd_incremental, DD_INCREMENTAL_SQL),
+    "dd_bloom_incremental": (dd_bloom_incremental, DD_BLOOM_SQL),
     "tx_gopher_quality": (tx_gopher_quality, TX_GOPHER_SQL),
     "tx_trigram_ppl": (tx_trigram_ppl, TX_TRIGRAM_PPL_SQL),
     "tx_mix_rebalance": (tx_mix_rebalance, _mix_sql()),

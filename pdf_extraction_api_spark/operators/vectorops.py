@@ -878,8 +878,177 @@ FROM proj GROUP BY label
 """
 
 
+SQ_POOL = K + 7  # approx-scan pool size per query before exact rerank
+
+
+def ann_sq8_rerank(spark, sf):
+    """SQ8 scalar-quantized ANN with exact rerank — the memory play
+    for 100 TB embedding search: each candidate vector is stored as
+    `dim` uint8 codes + one float norm (4x smaller than float32, so
+    4x less scan I/O and the whole index fits where the raw vectors
+    don't). Codes are a per-dimension affine grid: code_i =
+    round((x_i - mn_i)/sc_i) with sc_i = (mx_i - mn_i)/255 from one
+    global min/max pass. The approx pass scores ALL candidates
+    against the dequantized grid via the ADC identity dot(q, deq) =
+    dot(q, mn) + dot(q*sc, code) — the two query-side tables are
+    computed once per query, so the per-candidate work is one
+    int-code dot product. The top SQ_POOL per query then rerank with
+    EXACT float cosine (a broadcast join of the ~N_QUERIES*SQ_POOL
+    pool back to the vector table), and the final top-K is ranked by
+    exact cosine — quantization can reorder the pool but the emitted
+    cos_sim is exact. Plan: one 1-row min/max broadcast, one bounded
+    BroadcastNestedLoopJoin scan (query side bounded, same lint
+    rationale as ann_topk_brute — but scanning CODES, not floats),
+    one broadcast rerank join; no wide shuffle. Deterministic: the
+    grid is order-insensitive (min/max), codes are exact integers,
+    ties break on c_id; the oracle mirrors every operand in the same
+    order. At production scale the code table is written bucketed by
+    IVF cell (compose with kmeans_cells) so the approx scan is also
+    partition-pruned; here the flat scan keeps the oracle exact."""
+    e = T(spark, sf, "embeddings")
+    dim = _dim_of(e)
+    rng = e.agg(*(
+        [F.min(F.element_at("embedding", i + 1).cast("double"))
+         .alias(f"mn{i}") for i in range(dim)]
+        + [F.max(F.element_at("embedding", i + 1).cast("double"))
+           .alias(f"mx{i}") for i in range(dim)]
+    )).select(
+        F.array(*[F.col(f"mn{i}") for i in range(dim)]).alias("mn"),
+        F.array(*[(F.col(f"mx{i}") - F.col(f"mn{i}")) / F.lit(255.0)
+                  for i in range(dim)]).alias("sc"),
+    ).localCheckpoint()
+
+    code = F.transform(
+        "embedding",
+        lambda x, i: F.when(F.get("sc", i) == 0.0, F.lit(0)).otherwise(
+            F.round((x.cast("double") - F.get("mn", i)) / F.get("sc", i),
+                    0).cast("int")))
+    cand = e.crossJoin(F.broadcast(rng)).select(
+        F.col("vec_id").alias("c_id"), "mn", "sc", code.alias("code"))
+    deq = F.transform(
+        "code", lambda c, i: F.get("mn", i) + c.cast("double")
+        * F.get("sc", i))
+    cand = cand.select(
+        "c_id", "code",
+        F.sqrt(F.aggregate(deq, F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("deq_norm"))
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).crossJoin(
+        F.broadcast(rng)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_v"),
+        F.sqrt(F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )).alias("q_norm"),
+        F.aggregate(
+            F.zip_with("embedding", "mn",
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, x: a + x).alias("qmn"),
+        F.zip_with("embedding", "sc",
+                   lambda x, y: x.cast("double") * y).alias("qs"),
+    )
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", "q_v", "q_norm",
+            ((F.col("qmn") + F.aggregate(
+                F.zip_with("qs", "code",
+                           lambda x, y: x * y.cast("double")),
+                F.lit(0.0), lambda a, x: a + x))
+             / (F.col("q_norm") * F.col("deq_norm"))).alias("approx"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("c_id"))
+    pool = (scored.withColumn("prk", F.row_number().over(wp))
+            .filter(F.col("prk") <= SQ_POOL)
+            .drop("prk"))
+    c_ex = _with_norm(e, "embedding", "c")
+    rr = c_ex.join(F.broadcast(pool), c_ex["c_id"] == pool["c_id"]).select(
+        "q_id", c_ex["c_id"].alias("c_id"), "approx",
+        (_cosine("q_v", "c_v")
+         / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("q_id", "rank", F.col("c_id").alias("neighbor_id"),
+                F.round("cos", 4).alias("cos_sim"),
+                F.round("approx", 4).alias("cos_sq8"))
+    )
+
+
+ANN_SQ8_SQL = f"""
+WITH dims AS (
+  SELECT pos AS dim, CAST(embedding[pos + 1] AS DOUBLE) AS vv
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS pos) t),
+rng AS (
+  SELECT list(mn ORDER BY dim) AS mn, list(sc ORDER BY dim) AS sc
+  FROM (SELECT dim, min(vv) AS mn,
+               (max(vv) - min(vv)) / CAST(255.0 AS DOUBLE) AS sc
+        FROM dims GROUP BY dim)),
+cand AS (
+  SELECT vec_id AS c_id, mn, sc,
+         list_transform(range(len(embedding)), i ->
+           CASE WHEN sc[i + 1] = 0.0 THEN 0
+                ELSE CAST(round((CAST(embedding[i + 1] AS DOUBLE)
+                                 - mn[i + 1]) / sc[i + 1], 0) AS INT)
+           END) AS code
+  FROM embeddings, rng),
+cand2 AS (
+  SELECT c_id, code,
+         sqrt(list_dot_product(deq, deq)) AS deq_norm
+  FROM (SELECT c_id, code,
+               list_transform(range(len(code)), i ->
+                 mn[i + 1] + CAST(code[i + 1] AS DOUBLE) * sc[i + 1])
+                 AS deq
+        FROM cand)),
+q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS q_norm,
+         list_dot_product(CAST(embedding AS DOUBLE[]), mn) AS qmn,
+         list_transform(range(len(embedding)), i ->
+           CAST(embedding[i + 1] AS DOUBLE) * sc[i + 1]) AS qs
+  FROM embeddings, rng WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q_id, c_id, qv, q_norm,
+         (qmn + list_dot_product(
+                  qs, list_transform(code, c -> CAST(c AS DOUBLE))))
+           / (q_norm * deq_norm) AS approx
+  FROM q, cand2 WHERE c_id <> q_id),
+pool AS (
+  SELECT q_id, c_id, qv, q_norm, approx
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY approx DESC, c_id ASC)
+                    AS prk
+        FROM scored)
+  WHERE prk <= {SQ_POOL}),
+rr AS (
+  SELECT p.q_id, p.c_id, p.approx,
+         list_dot_product(p.qv, CAST(e.embedding AS DOUBLE[]))
+           / (p.q_norm
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))))
+           AS cos
+  FROM pool p JOIN embeddings e ON e.vec_id = p.c_id)
+SELECT q_id, rank, c_id AS neighbor_id,
+       CAST(round(cos, 4) AS DOUBLE) AS cos_sim,
+       CAST(round(approx, 4) AS DOUBLE) AS cos_sq8
+FROM (SELECT q_id, c_id, cos, approx,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id ASC) AS rank
+      FROM rr)
+WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "vec_pca_power": (vec_pca_power, _pca_sql()),
+    "ann_sq8_rerank": (ann_sq8_rerank, ANN_SQ8_SQL),
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
     "ann_ivf_probe": (ann_ivf_probe, ANN_IVF_PROBE_SQL),

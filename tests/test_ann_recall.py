@@ -124,3 +124,27 @@ def test_pca_power_two_parallelism_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert out["2"] == out["32"]
+
+
+def test_sq8_rerank_matches_brute_closely(spark):
+    """256-level scalar quantization barely perturbs cosine ranking:
+    the SQ8 pool + exact rerank recovers >=0.9 of brute-force top-K,
+    shared pairs carry the IDENTICAL exact cos_sim (rerank is exact,
+    not dequantized), and the approx score is within 0.05 of exact."""
+    from pdf_extraction_api_spark.operators.vectorops import (
+        ann_sq8_rerank,
+        ann_topk_brute,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {(r.q_id, r.neighbor_id): r.cos_sim
+             for r in ann_topk_brute(spark, sf).collect()}
+    sq8 = {(r.q_id, r.neighbor_id): (r.cos_sim, r.cos_sq8)
+           for r in ann_sq8_rerank(spark, sf).collect()}
+    assert brute and len(sq8) == len(brute)
+    shared = set(brute) & set(sq8)
+    assert len(shared) / len(brute) >= 0.9
+    for k in shared:
+        exact, approx = sq8[k]
+        assert exact == brute[k], k
+        assert abs(approx - exact) <= 0.05, k

@@ -191,3 +191,47 @@ def test_incremental_ground_truth(spark, tmp_path):
            for r in dd_incremental(spark, str(tmp_path)).collect()}
     assert got == {10: "exact_dup", 5: "near_dup_candidate",
                    15: "new_unique"}
+
+
+def test_bloom_incremental_ground_truth(spark, tmp_path):
+    """Planted batch: doc 0 (new, % 5 == 0) copies history doc 1's
+    text byte-for-byte → MUST be verdict 'dup' with all BLOOM_K
+    positions hit (bloom filters have no false negatives); docs 5/10
+    are unique new docs → 'fresh' or (hash-collision only)
+    'false_positive', never 'dup'; and the verdict set is identical
+    at 2 vs 32 shuffle partitions."""
+    from pdf_extraction_api_spark.operators.textops import (
+        BLOOM_K,
+        dd_bloom_incremental,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, shared, "en", "s", len(shared)),          # new, dup of 1
+        (1, shared, "en", "s", len(shared)),          # history
+        (2, "hist only text two", "en", "s", 19),
+        (5, "brand new unique five", "en", "s", 21),  # new
+        (10, "brand new unique ten", "en", "s", 20),  # new
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = {}
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            out[parts] = {r.doc_id: (r.n_hit, r.verdict)
+                          for r in dd_bloom_incremental(
+                              spark, str(tmp_path)).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert out["2"] == out["32"]
+    got = out["32"]
+    assert set(got) == {0, 5, 10}
+    assert got[0] == (BLOOM_K, "dup")       # no false negatives
+    for d in (5, 10):
+        assert got[d][1] in ("fresh", "false_positive")
+        assert got[d][1] != "dup"
