@@ -714,7 +714,123 @@ LEFT JOIN nov n ON n.doc_id = d.doc_id
 """
 
 
+KMV_K = 16       # sketch size: k minimum hash values per group
+KMV_SHARDS = 4   # phase-1 salt width (same scheme as dd_domain_cap)
+_H60 = 1 << 60   # md5 15-hex-digit hash space
+
+
+def sk_kmv_distinct(spark, sf):
+    """KMV (k-minimum-values / bottom-k theta) distinct-count sketch —
+    the bounded-memory cardinality estimator a 10^12-row pipeline uses
+    where COUNT(DISTINCT) would shuffle every key: keep only the
+    KMV_K smallest normalized hash values per group; the estimate is
+    (k-1)/h_(k) (Bar-Yossef et al. 2002). Deterministic — no HLL
+    register noise, so the DuckDB oracle reproduces it bit-for-bit
+    from the same md5-derived 60-bit hashes. Emits per source the
+    exact distinct count (the comparison baseline — production runs
+    only the sketch), the KMV estimate (exact count when the group
+    holds fewer than k values, the standard small-set rule), and the
+    relative error; plus one '__all__' row whose sketch is MERGED
+    from the per-source survivors (k smallest of the union of
+    bottom-k sets == bottom-k of the union — the mergeability that
+    makes KMV map-side-combinable and cross-partition cheap).
+
+    Scale shape: bottom-k per group without a per-group global sort —
+    the dd_domain_cap two-phase trick (rank within (source, shard),
+    keep <= k per shard, re-rank the <= SHARDS*k survivors); the
+    global row reads ONLY the phase-2 survivor sets, never rescans.
+    The exact-count column is the one full-width distinct agg, kept
+    solely because the operator's point is showing the sketch against
+    truth."""
+    d = T(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    hashes = d.select("source", h.alias("h")).distinct()
+    shard = (F.col("h") % KMV_SHARDS)
+    w_local = Window.partitionBy("source", "shard").orderBy(F.asc("h"))
+    surv = (
+        hashes.withColumn("shard", shard)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= KMV_K)
+    )
+    w_global = Window.partitionBy("source").orderBy(F.asc("h"))
+    ranked = (surv.withColumn("rk", F.row_number().over(w_global))
+              .filter(F.col("rk") <= KMV_K))
+    kth = ranked.filter(F.col("rk") == KMV_K).select(
+        "source", (F.col("h").cast("double") / F.lit(float(_H60)))
+        .alias("frac_k"))
+    exact = hashes.groupBy("source").agg(
+        F.count_distinct("h").alias("n_exact"))
+
+    # distinct: the same text under two sources survives in both
+    # per-source sketches; the union sketch is over the SET of values
+    w_all = Window.orderBy(F.asc("h"))
+    merged = (ranked.select("h").distinct()
+              .withColumn("rk", F.row_number().over(w_all))
+              .filter(F.col("rk") <= KMV_K))
+    kth_all = merged.filter(F.col("rk") == KMV_K).select(
+        F.lit("__all__").alias("source"),
+        (F.col("h").cast("double") / F.lit(float(_H60))).alias("frac_k"))
+    exact_all = hashes.select("h").distinct().agg(
+        F.lit("__all__").alias("source"),
+        F.count("*").alias("n_exact"))
+
+    both = (exact.join(F.broadcast(kth), "source", "left")
+            .unionByName(exact_all.join(F.broadcast(kth_all),
+                                        "source", "left")))
+    est = F.when(F.col("frac_k").isNull(),
+                 F.col("n_exact").cast("double")).otherwise(
+        F.lit(KMV_K - 1) / F.col("frac_k"))
+    return both.select(
+        "source", "n_exact",
+        F.round(est, 4).alias("n_est"),
+        F.round(F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"), 6).alias("rel_err"))
+
+
+SK_KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+  FROM hashes),
+kth AS (
+  SELECT source, CAST(h AS DOUBLE) / CAST({_H60} AS DOUBLE) AS frac_k
+  FROM ranked WHERE rk = {KMV_K}),
+exact AS (
+  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+  FROM hashes GROUP BY source),
+merged AS (
+  SELECT h, row_number() OVER (ORDER BY h ASC) AS rk
+  FROM (SELECT DISTINCT h FROM ranked WHERE rk <= {KMV_K})),
+kth_all AS (
+  SELECT '__all__' AS source,
+         CAST(h AS DOUBLE) / CAST({_H60} AS DOUBLE) AS frac_k
+  FROM merged WHERE rk = {KMV_K}),
+exact_all AS (
+  SELECT '__all__' AS source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+  FROM hashes),
+both_g AS (
+  SELECT e.source, e.n_exact, k.frac_k FROM exact e
+  LEFT JOIN kth k ON k.source = e.source
+  UNION ALL
+  SELECT e.source, e.n_exact, k.frac_k FROM exact_all e
+  LEFT JOIN kth_all k ON k.source = e.source)
+SELECT source, n_exact,
+       round(CASE WHEN frac_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                  ELSE {KMV_K - 1} / frac_k END, 4) AS n_est,
+       round(abs(CASE WHEN frac_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                      ELSE {KMV_K - 1} / frac_k END
+                 - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) AS rel_err
+FROM both_g
+"""
+
+
 QUERIES = {
+    "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
     "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),
     "tx_ft_score": (tx_ft_score, TX_FT_SCORE_SQL),
     "tx_segment_scrub": (tx_segment_scrub, TX_SEGMENT_SCRUB_SQL),

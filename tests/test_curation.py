@@ -384,3 +384,55 @@ def test_incremental_embed_verdicts(spark):
         assert r["verdict"] == want, i
         n_near += r["verdict"] == "near_dup"
     assert n_near > 0  # threshold band is populated on this corpus
+
+
+def test_kmv_sketch_properties(spark, tmp_path):
+    """KMV invariants on planted data: a group with fewer than KMV_K
+    distinct texts reports its EXACT count (small-set rule, rel_err
+    0); a large group's estimate matches (k-1)/h_(k) recomputed in
+    Python from the same md5 hashes; the merged '__all__' sketch
+    equals KMV computed directly over the union; and the whole output
+    is identical at 2 vs 32 shuffle partitions."""
+    from pdf_extraction_api_spark.operators.curation import (
+        _H60,
+        KMV_K,
+        sk_kmv_distinct,
+    )
+
+    rows = []
+    for i in range(5):                    # small group: 5 < KMV_K
+        rows.append((i, f"small text {i}", "en", "tiny", 10))
+    for i in range(200):                  # large group: 200 >= KMV_K
+        rows.append((100 + i, f"big text {i}", "en", "big", 10))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = {}
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            out[parts] = {r.source: (r.n_exact, r.n_est, r.rel_err)
+                          for r in sk_kmv_distinct(
+                              spark, str(tmp_path)).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert out["2"] == out["32"]
+    got = out["32"]
+    assert got["tiny"] == (5, 5.0, 0.0)
+
+    def h60(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    big = sorted(h60(f"big text {i}") for i in range(200))
+    want_big = (KMV_K - 1) / (big[KMV_K - 1] / float(_H60))
+    assert got["big"][0] == 200
+    assert abs(got["big"][1] - round(want_big, 4)) < 1e-9
+
+    union = sorted(big[:KMV_K] + sorted(
+        h60(f"small text {i}") for i in range(5)))
+    want_all = (KMV_K - 1) / (union[KMV_K - 1] / float(_H60))
+    assert got["__all__"][0] == 205
+    assert abs(got["__all__"][1] - round(want_all, 4)) < 1e-9
