@@ -6,6 +6,7 @@ every brute pair with >= 5 shared shingles shares a band signature)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 
 def test_lsh_jaccard_matches_brute_force(spark):
@@ -235,3 +236,54 @@ def test_bloom_incremental_ground_truth(spark, tmp_path):
     for d in (5, 10):
         assert got[d][1] in ("fresh", "false_positive")
         assert got[d][1] != "dup"
+
+
+def test_bm25_hand_values(spark, tmp_path):
+    """BM25 on a planted 4-doc corpus matches an independent Python
+    recompute of the Robertson idf * saturated-tf formula (same k1,
+    b, 6-dp rounding), including ranking order: the doc repeating
+    'spark' most outranks one longer doc with the same counts
+    (length normalization), and a doc with zero query terms is absent
+    (bm25 > 0 filter)."""
+    import math
+
+    from pdf_extraction_api_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        tx_bm25_topk,
+    )
+
+    texts = {
+        0: "spark spark spark vector",
+        1: "spark spark spark vector pad pad pad pad",  # longer, same tf
+        2: "stream customer window",
+        3: "nothing relevant here at all",
+    }
+    rows = [(i, t, len(t), "s") for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [(r.doc_id, r.bm25)
+           for r in tx_bm25_topk(spark, str(tmp_path)).collect()]
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    want = {}
+    for i, t in toks.items():
+        dl = len(t)
+        s = 0.0
+        for term in BM25_TERMS:
+            tf = t.count(term)
+            df = sum(term in u for u in toks.values())
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+        if round(s, 6) > 0:
+            want[i] = round(s, 6)
+
+    assert dict(got) == pytest.approx(want)
+    assert 3 not in dict(got)
+    order = [i for i, _ in got]
+    assert order.index(0) < order.index(1)  # length normalization
