@@ -829,8 +829,179 @@ FROM both_g
 """
 
 
+CMS_D = 4        # count-min sketch depth (independent hash rows)
+CMS_W = 64       # count-min sketch width (buckets per row)
+CMS_TOPK = 20    # heavy hitters reported
+
+
+def sk_cms_heavy(spark, sf):
+    """Count-min-sketch heavy hitters — the constant-memory frequency
+    estimator (Cormode & Muthukrishnan 2005) a 10^12-row pipeline
+    uses where an exact token count would keep the full vocabulary
+    live: every token folds into a CMS_D x CMS_W cell grid (row j
+    buckets by md5('j:'||tok)), estimate = min over rows of the
+    probed cell. Deterministic (fixed salts, exact BIGINT cells), so
+    the DuckDB oracle rebuilds the identical sketch. Emits the
+    CMS_TOPK tokens by exact count with the exact count, the sketch
+    estimate, and the overcount (>= 0 always: CMS never
+    underestimates — pinned by test). The exact count is kept only
+    as the truth baseline the sketch is judged against — production
+    runs the sketch alone.
+
+    Scale shape: the cell grid is CMS_D*CMS_W rows REGARDLESS of
+    corpus size and the build is one map-side-combinable hash agg
+    over (row, bucket); probing any candidate set is a broadcast
+    join against that tiny grid. The only wide shuffle is the exact
+    token count (the truth baseline this op exists to compare
+    against)."""
+    d = T(spark, sf, "documents")
+    cnt = (d.select(F.explode(ws_tokens()).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("n")))
+
+    def bucket(j):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 15),
+            16, 10).cast("long") % CMS_W)
+
+    # one generator pass per consumer (not CMS_D union branches that
+    # would each recompute the token-count agg)
+    jb = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+        for j in range(CMS_D)])).alias("jb")
+    cells = (cnt.select("n", jb).select("n", "jb.j", "jb.b")
+             .groupBy("j", "b").agg(F.sum("n").alias("cell")))
+
+    top = cnt.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOPK)
+    probes = (top.select("tok", "n", jb)
+              .select("tok", "n", "jb.j", "jb.b"))
+    est = (probes.join(F.broadcast(cells), ["j", "b"])
+           .groupBy("tok", "n").agg(F.min("cell").alias("n_est")))
+    return (est.select(
+        "tok", F.col("n").alias("n_exact"), "n_est",
+        (F.col("n_est") - F.col("n")).alias("overcount"))
+        .orderBy(F.desc("n_exact"), F.asc("tok")))
+
+
+def _cms_sql() -> str:
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {j} AS j, CAST('0x' || substring(md5('{j}:' || tok),"
+        f" 1, 15) AS BIGINT) % {CMS_W} AS b, n FROM cnt"
+        for j in range(CMS_D))
+    probe_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT tok, n, {j} AS j, CAST('0x' || substring("
+        f"md5('{j}:' || tok), 1, 15) AS BIGINT) % {CMS_W} AS b FROM top"
+        for j in range(CMS_D))
+    return f"""
+WITH cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({WS_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY tok),
+per_row AS (
+  {rows}),
+cells AS (
+  SELECT j, b, CAST(sum(n) AS BIGINT) AS cell
+  FROM per_row GROUP BY j, b),
+top AS (
+  SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT {CMS_TOPK}),
+probes AS (
+  {probe_rows})
+SELECT p.tok, p.n AS n_exact, min(c.cell) AS n_est,
+       min(c.cell) - p.n AS overcount
+FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
+GROUP BY p.tok, p.n
+ORDER BY n_exact DESC, tok ASC
+"""
+
+
+DSIR_B = 64      # hashed-unigram feature buckets
+DSIR_TARGET = "en"  # target-domain selector (lang column)
+
+
+def tx_dsir_weight(spark, sf):
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling, public): score every raw doc by how
+    target-like its hashed-unigram bucket distribution is —
+    log p_target(doc) - log p_raw(doc) under add-1-smoothed bucket
+    unigram models, target = lang DSIR_TARGET docs, raw = the whole
+    corpus. Docs with positive weight look more like the target
+    domain than the corpus average; resampling by these weights is
+    the DSIR selection step.
+
+    Cross-engine determinism: the per-bucket log-ratio is rounded
+    once to integer NANO units (BIGINT) and each doc's weight is an
+    exact integer fold sum(c_b * w_nano_b) — float summation order
+    never matters (the tx_ft_score trick); the single final division
+    back to a double is exact-input rounding.
+
+    Scale shape: both bucket histograms are ONE map-side-combinable
+    agg to DSIR_B rows that broadcasts back; the per-doc score is
+    one shuffle on doc_id (token -> bucket -> 64-row broadcast join
+    -> per-doc sum). No vocabulary-sized state anywhere — the model
+    IS the 64-row table, same as DSIR's hashed n-gram design at
+    production scale."""
+    d = T(spark, sf, "documents")
+    tb = (d.select("doc_id", "lang",
+                   F.explode(ws_tokens()).alias("tok"))
+          .select("doc_id", "lang",
+                  (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                   .cast("long") % DSIR_B).alias("b")))
+    hist = tb.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum((F.col("lang") == DSIR_TARGET).cast("long")).alias("n_tgt"))
+    tot = hist.agg(F.sum("n_raw").alias("t_raw"),
+                   F.sum("n_tgt").alias("t_tgt"))
+    lr = (F.log((F.col("n_tgt") + F.lit(1.0))
+                / (F.col("t_tgt") + F.lit(float(DSIR_B))))
+          - F.log((F.col("n_raw") + F.lit(1.0))
+                  / (F.col("t_raw") + F.lit(float(DSIR_B)))))
+    wtab = (hist.join(F.broadcast(tot))
+            .select("b", F.round(lr * F.lit(1e9), 0)
+                    .cast("long").alias("w_nano")))
+    return (tb.join(F.broadcast(wtab), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_toks"),
+                 F.sum("w_nano").alias("nano"))
+            .select("doc_id", "n_toks",
+                    F.round(F.col("nano").cast("double") / F.lit(1e9), 6)
+                    .alias("dsir_logw"))
+            .orderBy("doc_id"))
+
+
+TX_DSIR_SQL = f"""
+WITH tb AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % {DSIR_B} AS b
+  FROM (SELECT doc_id, lang, unnest({WS_TOKS_SQL}) AS tok
+        FROM documents)),
+hist AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tgt
+  FROM tb GROUP BY b),
+tot AS (
+  SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+         CAST(sum(n_tgt) AS BIGINT) AS t_tgt
+  FROM hist),
+wtab AS (
+  SELECT b, CAST(round((ln((n_tgt + 1.0::DOUBLE)
+                           / (t_tgt + {DSIR_B}.0::DOUBLE))
+                        - ln((n_raw + 1.0::DOUBLE)
+                             / (t_raw + {DSIR_B}.0::DOUBLE)))
+                       * 1e9::DOUBLE, 0) AS BIGINT) AS w_nano
+  FROM hist, tot)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       round(CAST(CAST(sum(w.w_nano) AS BIGINT) AS DOUBLE)
+             / 1e9::DOUBLE, 6) AS dsir_logw
+FROM tb t JOIN wtab w ON w.b = t.b
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
+    "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
+    "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),
     "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),
     "tx_ft_score": (tx_ft_score, TX_FT_SCORE_SQL),
     "tx_segment_scrub": (tx_segment_scrub, TX_SEGMENT_SCRUB_SQL),

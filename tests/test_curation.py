@@ -436,3 +436,104 @@ def test_kmv_sketch_properties(spark, tmp_path):
     want_all = (KMV_K - 1) / (union[KMV_K - 1] / float(_H60))
     assert got["__all__"][0] == 205
     assert abs(got["__all__"][1] - round(want_all, 4)) < 1e-9
+
+
+def test_cms_sketch_properties(spark, tmp_path):
+    """Count-min invariants on planted data: the sketch output equals
+    an exact Python rebuild of the same D x W grid (same md5 salts),
+    the estimate never underestimates, and the planted hot token
+    leads the heavy-hitter list with its exact count."""
+    from collections import Counter
+
+    from pdf_extraction_api_spark.operators.curation import (
+        CMS_D,
+        CMS_TOPK,
+        CMS_W,
+        sk_cms_heavy,
+    )
+
+    texts = ["hot " * 50 + f"mid{i % 7} " * 3 + f"rare{i}"
+             for i in range(30)]
+    rows = [(i, t, len(t), "s") for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [(r.tok, r.n_exact, r.n_est, r.overcount)
+           for r in sk_cms_heavy(spark, str(tmp_path)).collect()]
+
+    counts = Counter(t for doc in texts for t in doc.split())
+
+    def bucket(j, tok):
+        return int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:15],
+                   16) % CMS_W
+
+    cells = Counter()
+    for tok, n in counts.items():
+        for j in range(CMS_D):
+            cells[(j, bucket(j, tok))] += n
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    want = [(tok, n,
+             min(cells[(j, bucket(j, tok))] for j in range(CMS_D)))
+            for tok, n in top]
+    want = [(tok, n, est, est - n) for tok, n, est in want]
+    assert got == want
+    assert all(r[3] >= 0 for r in got)          # never underestimates
+    assert got[0][0] == "hot" and got[0][1] == 30 * 50
+
+
+def test_dsir_weight_hand_values(spark, tmp_path):
+    """DSIR weights on a planted two-domain corpus match an
+    independent Python recompute of the add-1-smoothed bucket models
+    (same md5 buckets, same nano-unit integer fold), and a doc made
+    of target-only tokens outscores a doc of non-target tokens."""
+    import math
+
+    from pdf_extraction_api_spark.operators.curation import (
+        DSIR_B,
+        DSIR_TARGET,
+        tx_dsir_weight,
+    )
+
+    texts = {
+        0: ("alpha beta gamma alpha", "en"),
+        1: ("alpha beta beta", "en"),
+        2: ("omega psi chi omega psi", "de"),
+        3: ("omega chi chi", "de"),
+        4: ("alpha omega", "fr"),
+    }
+    rows = [(i, t, l, "s", len(t)) for i, (t, l) in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_toks, r.dsir_logw)
+           for r in tx_dsir_weight(spark, str(tmp_path)).collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15],
+                   16) % DSIR_B
+
+    n_raw, n_tgt = {}, {}
+    for _, (t, l) in texts.items():
+        for tok in t.split():
+            b = bucket(tok)
+            n_raw[b] = n_raw.get(b, 0) + 1
+            if l == DSIR_TARGET:
+                n_tgt[b] = n_tgt.get(b, 0) + 1
+    t_raw = sum(n_raw.values())
+    t_tgt = sum(n_tgt.values())
+
+    def w_nano(b):
+        lr = (math.log((n_tgt.get(b, 0) + 1.0) / (t_tgt + DSIR_B))
+              - math.log((n_raw[b] + 1.0) / (t_raw + DSIR_B)))
+        x = lr * 1e9
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    want = {}
+    for i, (t, _) in texts.items():
+        toks = t.split()
+        nano = sum(w_nano(bucket(tok)) for tok in toks)
+        want[i] = (len(toks), round(nano / 1e9, 6))
+    assert got == pytest.approx(want)
+    assert got[0][1] > got[2][1]  # target-like beats non-target-like
+    assert got[2][1] < 0          # de-only doc reads anti-target
