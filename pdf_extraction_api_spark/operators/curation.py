@@ -963,8 +963,7 @@ def tx_dsir_weight(spark, sf):
                  F.sum("w_nano").alias("nano"))
             .select("doc_id", "n_toks",
                     F.round(F.col("nano").cast("double") / F.lit(1e9), 6)
-                    .alias("dsir_logw"))
-            .orderBy("doc_id"))
+                    .alias("dsir_logw")))
 
 
 TX_DSIR_SQL = f"""
