@@ -997,10 +997,54 @@ ORDER BY t.doc_id
 """
 
 
+WSAMPLE_K = 25   # weighted sample size
+
+
+def tx_weighted_sample(spark, sf):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006 A-ES): each doc draws key = -ln(u)/w from a deterministic
+    md5-derived uniform u and weight w = n_chars; the WSAMPLE_K
+    smallest keys ARE a weight-proportional sample — the standard
+    one-pass distributed quality-weighted selection (heavier docs get
+    stochastically smaller keys). Deterministic: u comes from the
+    60-bit md5 of the doc text, and the top-k orders by the 9-dp
+    ROUNDED key with a doc_id tie-break (the tx_bm25_topk convention)
+    so the selected set is cross-engine stable.
+
+    Scale shape: keys are map-side arithmetic on the scan (no
+    shuffle); the selection is one TakeOrderedAndProject — per
+    partition keep k, merge k*parts rows on the driver. No global
+    sort, no per-key state; at 10^12 rows this is the weighted
+    analogue of tx_hash_sample."""
+    d = T(spark, sf, "documents")
+    u = (F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+         .cast("double") / F.lit(float(_H60)))
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    # w > 0 guard: Spark doubles give +inf on /0 but DuckDB gives
+    # NULL — zero-weight rows are excluded identically instead
+    return (d.filter(F.col("n_chars") > 0)
+            .select("doc_id", F.col("n_chars").alias("w"),
+                    F.round(key, 9).alias("es_key"))
+            .orderBy(F.asc("es_key"), F.asc("doc_id"))
+            .limit(WSAMPLE_K))
+
+
+TX_WSAMPLE_SQL = f"""
+SELECT doc_id, n_chars AS w,
+       round(-ln(CAST(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                      AS DOUBLE) / {_H60}::DOUBLE)
+             / CAST(n_chars AS DOUBLE), 9) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+
 QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),
+    "tx_weighted_sample": (tx_weighted_sample, TX_WSAMPLE_SQL),
     "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),
     "tx_ft_score": (tx_ft_score, TX_FT_SCORE_SQL),
     "tx_segment_scrub": (tx_segment_scrub, TX_SEGMENT_SCRUB_SQL),

@@ -537,3 +537,46 @@ def test_dsir_weight_hand_values(spark, tmp_path):
     assert got == pytest.approx(want)
     assert got[0][1] > got[2][1]  # target-like beats non-target-like
     assert got[2][1] < 0          # de-only doc reads anti-target
+
+
+def test_weighted_sample_hand_values(spark, tmp_path):
+    """A-ES weighted sampling matches an exact Python recompute of
+    key = -ln(u)/w over the same md5-derived uniforms (same 9-dp
+    rounded ordering), and the weight bias is real: with heavy docs
+    at 100x the weight of light docs, the sample is dominated by
+    heavy docs."""
+    import math
+
+    from pdf_extraction_api_spark.operators.curation import (
+        _H60,
+        WSAMPLE_K,
+        tx_weighted_sample,
+    )
+
+    rows = []
+    for i in range(50):
+        rows.append((i, f"heavy doc {i}", "en", "s", 5000))
+    for i in range(50):
+        rows.append((100 + i, f"light doc {i}", "en", "s", 50))
+    rows.append((999, "zero weight doc", "en", "s", 0))  # excluded
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [(r.doc_id, r.w, r.es_key)
+           for r in tx_weighted_sample(spark, str(tmp_path)).collect()]
+
+    def key(text, w):
+        u = int(hashlib.md5(text.encode()).hexdigest()[:15],
+                16) / float(_H60)
+        return round(-math.log(u) / w, 9)
+
+    want = sorted(
+        ((i, w, key(t, w)) for i, t, _, _, w in rows if w > 0),
+        key=lambda r: (r[2], r[0]))[:WSAMPLE_K]
+    assert [(i, w) for i, w, _ in got] == [(i, w) for i, w, _ in want]
+    assert [k for _, _, k in got] == pytest.approx(
+        [k for _, _, k in want])
+    assert all(i != 999 for i, _, _ in got)
+    n_heavy = sum(w == 5000 for _, w, _ in got)
+    assert n_heavy >= WSAMPLE_K - 3  # 100x weight dominates the draw
