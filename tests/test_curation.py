@@ -580,3 +580,28 @@ def test_weighted_sample_hand_values(spark, tmp_path):
     assert all(i != 999 for i, _, _ in got)
     n_heavy = sum(w == 5000 for _, w, _ in got)
     assert n_heavy >= WSAMPLE_K - 3  # 100x weight dominates the draw
+
+
+def test_round6_two_parallelism_determinism(spark):
+    """Round-6 sketch/retrieval/selection operators produce identical
+    rows at 2 vs 32 shuffle partitions (same N-vs-4N proxy
+    convention): CMS cells and DSIR folds are exact-integer
+    order-insensitive aggs, the samplers/top-ks order by rounded
+    keys with id tie-breaks, Bloom bits and SQ8 codes are
+    deterministic arithmetic."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = ("sk_cms_heavy", "tx_dsir_weight", "tx_weighted_sample",
+             "tx_bm25_topk", "dd_bloom_incremental", "ann_sq8_rerank")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                n: sorted(map(tuple, qs[n](spark, SF).collect()))
+                for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results["2"] == results["32"]
