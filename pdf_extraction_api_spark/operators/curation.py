@@ -829,6 +829,128 @@ FROM both_g
 """
 
 
+HLL_P = 4                 # HLL precision: m = 2^P = 16 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.673         # standard bias constant for m = 16
+_HLL_REM_BITS = 60 - HLL_P
+_HLL_RMAX = _HLL_REM_BITS + 1  # register ceiling (rank of rem == 0)
+
+
+def sk_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    production-standard cardinality estimator (what Spark's
+    approx_count_distinct runs): bucket = top HLL_P bits of the
+    60-bit md5 hash, register = max over the bucket of
+    (leading zeros of the remaining 56 bits + 1), estimate =
+    alpha*m^2 / sum(2^-register) with the small-range
+    linear-counting correction. Pairs with [sk_kmv_distinct]: same
+    truth-baseline shape, different estimator family. Everything is
+    exact-integer until the single final division: the rank comes
+    from string ops on the binary expansion (no float log2 of a
+    >2^53 int), and sum(2^-register) is carried as the BIGINT
+    sum of 2^(RMAX - register) — dyadic terms of mixed scale never
+    round. The '__all__' row merges per-source registers by MAX —
+    the HLL merge — and is checked against the direct union estimate
+    by the unit test.
+
+    Scale shape: registers are one map-side-combinable MAX agg to
+    (n_groups x m) rows; the merge is a second tiny MAX agg. The
+    exact COUNT(DISTINCT) stays only as the truth baseline, as in
+    the other two sketches."""
+    d = T(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    mask = (1 << _HLL_REM_BITS) - 1
+    rem = F.col("h").bitwiseAND(F.lit(mask))
+    first_one = F.instr(
+        F.lpad(F.bin(rem), _HLL_REM_BITS, "0"), "1")
+    rank = F.when(rem == 0, F.lit(_HLL_RMAX)).otherwise(first_one)
+    hashes = d.select(
+        "source", h.alias("h")).withColumn(
+        "bucket", F.shiftright("h", _HLL_REM_BITS)).withColumn(
+        "rank", rank)
+    regs = (hashes.groupBy("source", "bucket")
+            .agg(F.max("rank").alias("r")))
+    gregs = (regs.groupBy("bucket").agg(F.max("r").alias("r"))
+             .select(F.lit("__all__").alias("source"), "bucket", "r"))
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RMAX} - r AS INT))")
+    folded = (regs.unionByName(gregs).groupBy("source")
+              .agg(F.sum(term).alias("s_occ"),
+                   F.count("*").alias("n_occ")))
+    n_zero = F.lit(HLL_M) - F.col("n_occ")
+    s_all = (F.col("s_occ")
+             + n_zero * F.lit(1 << _HLL_RMAX)).cast("double")
+    e_raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M)
+             * F.lit(float(1 << _HLL_RMAX)) / s_all)
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (n_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero)
+    ).otherwise(e_raw)
+    exact = (d.select("source", h.alias("h")).distinct()
+             .groupBy("source").agg(F.count("*").alias("n_exact")))
+    exact_all = (d.select(h.alias("h")).distinct().agg(
+        F.lit("__all__").alias("source"),
+        F.count("*").alias("n_exact")))
+    return (exact.unionByName(exact_all)
+            .join(F.broadcast(folded), "source")
+            .select("source", "n_exact",
+                    F.round(est, 4).alias("n_est"),
+                    F.round(F.abs(est - F.col("n_exact").cast("double"))
+                            / F.col("n_exact").cast("double"), 6)
+                    .alias("rel_err")))
+
+
+SK_HLL_SQL = f"""
+WITH hashes AS (
+  SELECT source, h, h >> {_HLL_REM_BITS} AS bucket,
+         CASE WHEN (h & {(1 << _HLL_REM_BITS) - 1}) = 0 THEN {_HLL_RMAX}
+              ELSE instr(lpad(bin(h & {(1 << _HLL_REM_BITS) - 1}),
+                              {_HLL_REM_BITS}, '0'), '1') END AS rank
+  FROM (SELECT source,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+        FROM documents)),
+regs AS (
+  SELECT source, bucket, max(rank) AS r
+  FROM hashes GROUP BY source, bucket),
+gregs AS (
+  SELECT '__all__' AS source, bucket, max(r) AS r
+  FROM regs GROUP BY bucket),
+folded AS (
+  SELECT source,
+         CAST(sum(1::BIGINT << CAST({_HLL_RMAX} - r AS INT)) AS BIGINT)
+           AS s_occ,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM (SELECT * FROM regs UNION ALL SELECT * FROM gregs)
+  GROUP BY source),
+est_t AS (
+  SELECT source,
+         CASE WHEN ({HLL_ALPHA}::DOUBLE * {HLL_M * HLL_M}
+                    * {1 << _HLL_RMAX}::DOUBLE
+                    / CAST(s_occ + ({HLL_M} - n_occ)
+                           * {1 << _HLL_RMAX}::BIGINT AS DOUBLE))
+                   <= {2.5 * HLL_M}::DOUBLE
+               AND ({HLL_M} - n_occ) > 0
+              THEN {HLL_M}.0::DOUBLE
+                   * ln({HLL_M}.0::DOUBLE / ({HLL_M} - n_occ))
+              ELSE {HLL_ALPHA}::DOUBLE * {HLL_M * HLL_M}
+                   * {1 << _HLL_RMAX}::DOUBLE
+                   / CAST(s_occ + ({HLL_M} - n_occ)
+                          * {1 << _HLL_RMAX}::BIGINT AS DOUBLE)
+         END AS est
+  FROM folded),
+exact AS (
+  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+  FROM hashes GROUP BY source
+  UNION ALL
+  SELECT '__all__' AS source, CAST(count(DISTINCT h) AS BIGINT)
+  FROM hashes)
+SELECT e.source, e.n_exact, round(t.est, 4) AS n_est,
+       round(abs(t.est - CAST(e.n_exact AS DOUBLE))
+             / CAST(e.n_exact AS DOUBLE), 6) AS rel_err
+FROM exact e JOIN est_t t ON t.source = e.source
+"""
+
+
 CMS_D = 4        # count-min sketch depth (independent hash rows)
 CMS_W = 64       # count-min sketch width (buckets per row)
 CMS_TOPK = 20    # heavy hitters reported
@@ -1043,6 +1165,7 @@ ORDER BY es_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
 QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
+    "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),
     "tx_weighted_sample": (tx_weighted_sample, TX_WSAMPLE_SQL),
     "dd_domain_cap": (dd_domain_cap, DD_DOMAIN_CAP_SQL),

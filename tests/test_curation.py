@@ -592,8 +592,9 @@ def test_round6_two_parallelism_determinism(spark):
     import __spark_entry__ as e
 
     qs = e.queries()
-    names = ("sk_cms_heavy", "tx_dsir_weight", "tx_weighted_sample",
-             "tx_bm25_topk", "dd_bloom_incremental", "ann_sq8_rerank")
+    names = ("sk_cms_heavy", "sk_hll_distinct", "tx_dsir_weight",
+             "tx_weighted_sample", "tx_bm25_topk",
+             "dd_bloom_incremental", "ann_sq8_rerank")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -605,3 +606,67 @@ def test_round6_two_parallelism_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results["2"] == results["32"]
+
+
+def test_hll_sketch_properties(spark, tmp_path):
+    """HLL invariants on planted data: per-group estimates match an
+    independent Python rebuild of the registers (same buckets, same
+    rank-of-remainder, same alpha/linear-counting branches), the
+    merged '__all__' row equals HLL computed directly over the union
+    of hashes (register MAX is the HLL merge), and a small group
+    takes the linear-counting branch."""
+    import math
+
+    from pdf_extraction_api_spark.operators.curation import (
+        _HLL_REM_BITS,
+        _HLL_RMAX,
+        HLL_ALPHA,
+        HLL_M,
+        sk_hll_distinct,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((i, f"tiny doc {i}", "en", "tiny", 10))
+    for i in range(300):
+        rows.append((100 + i, f"big doc {i}", "en", "big", 10))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: (r.n_exact, r.n_est, r.rel_err)
+           for r in sk_hll_distinct(spark, str(tmp_path)).collect()}
+
+    def h60(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    def estimate(hashes):
+        regs = {}
+        for h in hashes:
+            b = h >> _HLL_REM_BITS
+            rem = h & ((1 << _HLL_REM_BITS) - 1)
+            rank = (_HLL_RMAX if rem == 0
+                    else _HLL_REM_BITS - rem.bit_length() + 1)
+            regs[b] = max(regs.get(b, 0), rank)
+        s = sum(1 << (_HLL_RMAX - r) for r in regs.values())
+        n_zero = HLL_M - len(regs)
+        s += n_zero * (1 << _HLL_RMAX)
+        e_raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RMAX) / s
+        if e_raw <= 2.5 * HLL_M and n_zero > 0:
+            return HLL_M * math.log(HLL_M / n_zero)
+        return e_raw
+
+    tiny = [h60(f"tiny doc {i}") for i in range(6)]
+    big = [h60(f"big doc {i}") for i in range(300)]
+    assert got["tiny"][0] == 6
+    assert got["tiny"][1] == pytest.approx(round(estimate(tiny), 4))
+    assert got["big"][0] == 300
+    assert got["big"][1] == pytest.approx(round(estimate(big), 4))
+    # merge: the '__all__' registers are the per-source MAX, which is
+    # exactly HLL over the union of the raw hash sets
+    assert got["__all__"][0] == 306
+    assert got["__all__"][1] == pytest.approx(
+        round(estimate(tiny + big), 4))
+    # branch coverage: tiny is linear-counting, big is the raw path
+    assert estimate(tiny) <= 2.5 * HLL_M
+    assert estimate(big) > 2.5 * HLL_M
