@@ -1955,7 +1955,116 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
+RARE_DF_CAP = 16      # inverted-index prune: pair only on shingles
+                      # seen in <= this many docs
+CONT_MIN_SHARED = 3   # candidate pairs must share this many rare
+                      # shingles before exact verification
+CONT_TOPK = 50
+CONT_TAU = 0.8        # containment flag threshold
+
+
+def dd_containment(spark, sf):
+    """Shingle-containment detection — the one-sided near-dup measure
+    Jaccard misses: a short doc quoted whole inside a long page has
+    C = inter/|small| ~= 1 but Jaccard ~ |small|/|big| (tiny), so
+    MinHash-LSH (tuned for symmetric similarity) never surfaces the
+    pair. Candidates come from a doc-frequency-capped inverted
+    index: only shingles seen in <= RARE_DF_CAP docs generate pairs
+    (the classic prefix/rarity filter), so pair volume is bounded by
+    df_cap * n_shingles even when viral boilerplate shingles appear
+    in millions of docs — those are exactly the shingles that are
+    dropped. Exact intersection over ALL shingles is then computed
+    for candidates only (the dd_ngram_jaccard verify shape). Emits
+    the CONT_TOPK strongest pairs by rounded containment with the
+    smaller doc identified and a >= CONT_TAU flag.
+
+    Scale: one shuffle to shingle df, capped self-join on rare
+    shingles (each side <= RARE_DF_CAP rows per key), verify joins
+    only candidate docs' shingles; final top-k is
+    TakeOrderedAndProject over the rounded score."""
+    from pyspark import StorageLevel
+
+    sh = _shingles(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    rare = (sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= RARE_DF_CAP))
+    rsh = sh.join(rare.select("shingle"), "shingle")
+    ra = rsh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    rb = rsh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (ra.join(rb, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_rare"))
+            .filter(F.col("n_rare") >= CONT_MIN_SHARED)
+            .select("doc_a", "doc_b"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(a, "doc_a")
+             .join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    cont = F.col("inter") / F.least("n_a", "n_b")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select(
+                F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+                .otherwise(F.col("doc_b")).alias("doc_small"),
+                F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_b"))
+                .otherwise(F.col("doc_a")).alias("doc_big"),
+                F.least("n_a", "n_b").alias("n_small"),
+                "inter",
+                F.round(cont, 6).alias("containment"),
+                (F.round(cont, 6) >= CONT_TAU).alias("contained"))
+            .orderBy(F.desc("containment"), F.asc("doc_small"),
+                     F.asc("doc_big"))
+            .limit(CONT_TOPK))
+
+
+DD_CONTAINMENT_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+rare AS (
+  SELECT shingle FROM shingles
+  GROUP BY shingle HAVING count(*) <= {RARE_DF_CAP}),
+rsh AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN rare r ON r.shingle = s.shingle),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rsh a JOIN rsh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {CONT_MIN_SHARED}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM shingles GROUP BY doc_id)
+SELECT CASE WHEN sa.n <= sb.n THEN i.doc_a ELSE i.doc_b END
+         AS doc_small,
+       CASE WHEN sa.n <= sb.n THEN i.doc_b ELSE i.doc_a END
+         AS doc_big,
+       least(sa.n, sb.n) AS n_small, i.inter,
+       round(i.inter / least(sa.n, sb.n), 6) AS containment,
+       round(i.inter / least(sa.n, sb.n), 6) >= {CONT_TAU}::DOUBLE
+         AS contained
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY containment DESC, doc_small ASC, doc_big ASC
+LIMIT {CONT_TOPK}
+"""
+
+
 QUERIES = {
+    "dd_containment": (dd_containment, DD_CONTAINMENT_SQL),
     "tx_bm25_topk": (tx_bm25_topk, _bm25_sql()),
     "tx_pack_sequences": (tx_pack_sequences, TX_PACK_SQL),
     "tx_pack_payloads": (tx_pack_payloads, TX_PACK_PAYLOADS_SQL),

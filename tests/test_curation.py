@@ -594,7 +594,8 @@ def test_round6_two_parallelism_determinism(spark):
     qs = e.queries()
     names = ("sk_cms_heavy", "sk_hll_distinct", "tx_dsir_weight",
              "tx_weighted_sample", "tx_bm25_topk",
-             "dd_bloom_incremental", "ann_sq8_rerank")
+             "dd_bloom_incremental", "ann_sq8_rerank",
+             "dd_containment")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:

@@ -287,3 +287,43 @@ def test_bm25_hand_values(spark, tmp_path):
     assert 3 not in dict(got)
     order = [i for i, _ in got]
     assert order.index(0) < order.index(1)  # length normalization
+
+
+def test_containment_ground_truth(spark, tmp_path):
+    """Planted containment: doc 1 is doc 0's text verbatim plus a long
+    unique tail (containment(0 in 1) = 1.0 while Jaccard is low —
+    exactly the case symmetric near-dup misses); docs 2/3 are
+    unrelated. The exact pair values match a Python recompute over
+    the same distinct 3-token shingles."""
+    from pdf_extraction_api_spark.operators.textops import (
+        CONT_TAU,
+        dd_containment,
+    )
+
+    core = " ".join(f"c{i}" for i in range(12))
+    tail = " ".join(f"t{i}" for i in range(40))
+    rows = [
+        (0, core, len(core), "s"),
+        (1, f"{core} {tail}", 0, "s"),
+        (2, " ".join(f"x{i}" for i in range(30)), 0, "s"),
+        (3, " ".join(f"y{i}" for i in range(30)), 0, "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, n_chars LONG, source STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [(r.doc_small, r.doc_big, r.n_small, r.inter,
+            r.containment, r.contained)
+           for r in dd_containment(spark, str(tmp_path)).collect()]
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sh = {i: shingles(t) for i, t, _, _ in rows}
+    inter = len(sh[0] & sh[1])
+    assert inter == len(sh[0])  # doc 0 fully contained
+    want = (0, 1, len(sh[0]), inter,
+            round(inter / len(sh[0]), 6), True)
+    assert got == [want]
+    jacc = inter / len(sh[0] | sh[1])
+    assert jacc < CONT_TAU  # Jaccard alone would NOT flag this pair
