@@ -1162,8 +1162,66 @@ ORDER BY es_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
 """
 
 
+ENTROPY_LOW = 2.0   # bits; below = repetitive/template suspect
+
+
+def tx_entropy(spark, sf):
+    """Per-doc token-distribution Shannon entropy — the classic
+    gibberish/template quality signal (low entropy = repeated
+    boilerplate or keyword stuffing, used alongside the Gopher
+    rules): H = log2(n) - (1/n) * sum_t c_t*log2(c_t) over the doc's
+    token counts. Deterministic cross-engine via the exact fold:
+    log2(c) is rounded once to integer nano-bits, the per-doc sum
+    c*log2(c) is then a BIGINT sum whose order can never matter, and
+    the only float steps are the final log2(n) and one division
+    (tx_dsir_weight convention). Emits n_toks, n_distinct, entropy
+    and a low-entropy flag.
+
+    Scale shape: one shuffle to (doc, token) counts, one to the
+    per-doc fold; both aggs are map-side combinable and no
+    vocabulary-sized state exists outside the (doc, token) stream
+    any tokenizing op already carries."""
+    d = T(spark, sf, "documents")
+    tc = (d.select("doc_id", F.explode(ws_tokens()).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("c")))
+    w_nano = F.round(F.log2("c") * F.lit(1e9), 0).cast("long")
+    per_doc = (tc.groupBy("doc_id")
+               .agg(F.sum("c").alias("n"),
+                    F.count("*").alias("n_distinct"),
+                    F.sum(F.col("c") * w_nano).alias("nano")))
+    ent = (F.log2("n")
+           - F.col("nano").cast("double") / F.lit(1e9)
+           / F.col("n").cast("double"))
+    return per_doc.select(
+        "doc_id", F.col("n").alias("n_toks"), "n_distinct",
+        F.round(ent, 6).alias("entropy"),
+        (F.round(ent, 6) < ENTROPY_LOW).alias("low_entropy"))
+
+
+TX_ENTROPY_SQL = f"""
+WITH tc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({WS_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * CAST(round(log2(c) * 1e9::DOUBLE, 0) AS BIGINT))
+              AS BIGINT) AS nano
+  FROM tc GROUP BY doc_id)
+SELECT doc_id, n AS n_toks, n_distinct,
+       round(log2(n) - CAST(nano AS DOUBLE) / 1e9::DOUBLE
+                       / CAST(n AS DOUBLE), 6) AS entropy,
+       round(log2(n) - CAST(nano AS DOUBLE) / 1e9::DOUBLE
+                       / CAST(n AS DOUBLE), 6) < {ENTROPY_LOW}::DOUBLE
+         AS low_entropy
+FROM per_doc
+"""
+
+
 QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
+    "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),

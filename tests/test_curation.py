@@ -595,7 +595,7 @@ def test_round6_two_parallelism_determinism(spark):
     names = ("sk_cms_heavy", "sk_hll_distinct", "tx_dsir_weight",
              "tx_weighted_sample", "tx_bm25_topk",
              "dd_bloom_incremental", "ann_sq8_rerank",
-             "dd_containment")
+             "dd_containment", "tx_entropy")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -671,3 +671,46 @@ def test_hll_sketch_properties(spark, tmp_path):
     # branch coverage: tiny is linear-counting, big is the raw path
     assert estimate(tiny) <= 2.5 * HLL_M
     assert estimate(big) > 2.5 * HLL_M
+
+
+def test_entropy_hand_values(spark, tmp_path):
+    """Entropy matches an independent Python recompute (same nano-bit
+    integer fold): a uniform doc hits log2(n_distinct) exactly, a
+    constant doc reads 0.0 and is flagged low, and a mixed doc lands
+    between."""
+    import math
+
+    from pdf_extraction_api_spark.operators.curation import tx_entropy
+
+    texts = {
+        0: " ".join(f"u{i}" for i in range(16)),  # uniform: H = 4
+        1: " ".join(["same"] * 20),               # constant: H = 0
+        2: "a a a a b b c d",                     # mixed
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_toks, r.n_distinct, r.entropy, r.low_entropy)
+           for r in tx_entropy(spark, str(tmp_path)).collect()}
+
+    def entropy(toks):
+        from collections import Counter
+        c = Counter(toks)
+        n = len(toks)
+        nano = sum(v * int(math.copysign(
+            math.floor(abs(math.log2(v) * 1e9) + 0.5), 1))
+            for v in c.values())
+        return round(math.log2(n) - nano / 1e9 / n, 6)
+
+    for i, t in texts.items():
+        toks = t.split()
+        from collections import Counter
+        assert got[i][0] == len(toks)
+        assert got[i][1] == len(Counter(toks))
+        assert got[i][2] == pytest.approx(entropy(toks))
+    assert got[0][2] == pytest.approx(4.0)
+    assert got[1][2] == 0.0 and got[1][3] is True
+    assert got[0][3] is False
+    assert 0 < got[2][2] < 4.0
