@@ -1046,7 +1046,66 @@ WHERE rank <= {K}
 """
 
 
+RP_D = 16   # Johnson-Lindenstrauss target dimension
+
+
+def vec_rp_project(spark, sf):
+    """Johnson-Lindenstrauss random projection 64 -> RP_D dims with a
+    deterministic +-1 sign matrix (Achlioptas 2003: database-friendly
+    random projections — sign entries suffice): proj_j = dot(v, s_j)
+    / sqrt(RP_D), s_j[i] = +-1 by md5(i:j) parity. The cheap
+    dimensionality reducer in front of ANN/dedup at 100 TB — 4x
+    fewer bytes per vector before the quantizers (ann_sq8_rerank)
+    or LSH families take over. Long-form output (vec_id, j, proj)
+    so the oracle mirrors row-for-row.
+
+    Scale shape: the sign matrix is RP_D rows built ONCE from a
+    range() — broadcast-joined to the vector scan, so projection is
+    a pure map over vectors (no shuffle at all beyond the broadcast);
+    the dot product is the ordered zip_with/aggregate double fold
+    (`_cosine` convention, which list_dot_product reproduces at the
+    4-dp rounding)."""
+    e = T(spark, sf, "embeddings")
+    j = F.col("id").cast("string")
+    sign = lambda i: F.when(  # noqa: E731
+        F.conv(F.substring(
+            F.md5(F.concat(i.cast("string"), F.lit(":"), j)),
+            1, 15), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0)).otherwise(F.lit(-1.0))
+    smat = spark.range(RP_D).select(
+        F.col("id").cast("int").alias("j"),
+        F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), sign)
+        .alias("s"))
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("s"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (e.join(F.broadcast(smat))
+            .select("vec_id", "label", "j",
+                    # + 0.0 folds IEEE -0.0 to 0.0 (DuckDB rounds
+                    # tiny negatives to -0, Spark to 0 — hash differs)
+                    (F.round(dot / F.lit(float(RP_D) ** 0.5), 4)
+                     + F.lit(0.0)).alias("proj")))
+
+
+VEC_RP_SQL = f"""
+WITH smat AS (
+  SELECT CAST(j AS INTEGER) AS j,
+         list_transform(range({DIM}), i ->
+           CASE WHEN CAST('0x' || substring(md5(
+                      CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                      1, 15) AS BIGINT) % 2 = 0
+                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS s
+  FROM range({RP_D}) t(j))
+SELECT e.vec_id, e.label, m.j,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.s)
+             / sqrt({RP_D}::DOUBLE), 4) + 0.0::DOUBLE AS proj
+FROM embeddings e, smat m
+"""
+
+
 QUERIES = {
+    "vec_rp_project": (vec_rp_project, VEC_RP_SQL),
     "vec_pca_power": (vec_pca_power, _pca_sql()),
     "ann_sq8_rerank": (ann_sq8_rerank, ANN_SQ8_SQL),
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),

@@ -148,3 +148,49 @@ def test_sq8_rerank_matches_brute_closely(spark):
         exact, approx = sq8[k]
         assert exact == brute[k], k
         assert abs(approx - exact) <= 0.05, k
+
+
+def test_rp_project_exact_and_jl_property(spark, tmp_path):
+    """vec_rp_project matches an exact numpy recompute of the same
+    md5-parity sign matrix (ordered double fold, 4-dp round, -0
+    folded), and the JL guarantee holds in aggregate: the mean
+    projected-to-original squared-norm ratio over the corpus is near
+    1 (unbiasedness of +-1 projections)."""
+    import hashlib
+
+    from pdf_extraction_api_spark.operators.vectorops import (
+        DIM,
+        RP_D,
+        vec_rp_project,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, int(i % 3),
+             [float(x) for x in rng.normal(size=DIM).astype(np.float32)])
+            for i in range(40)]
+    spark.createDataFrame(
+        rows, "vec_id LONG, label LONG, embedding ARRAY<FLOAT>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {(r.vec_id, r.j): r.proj
+           for r in vec_rp_project(spark, str(tmp_path)).collect()}
+    assert len(got) == 40 * RP_D
+
+    def sign(i, j):
+        h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    smat = np.array([[sign(i, j) for i in range(DIM)]
+                     for j in range(RP_D)])
+    ratios = []
+    for vec_id, _, emb in rows:
+        v = np.array(emb, dtype=np.float64)
+        pv = np.zeros(RP_D)
+        for j in range(RP_D):
+            acc = 0.0
+            for i in range(DIM):   # ordered fold, as both engines
+                acc += v[i] * smat[j][i]
+            pv[j] = acc / np.sqrt(RP_D)
+            want = round(pv[j], 4) + 0.0
+            assert got[(vec_id, j)] == pytest.approx(want, abs=1e-9)
+        ratios.append((pv @ pv) / (v @ v))
+    assert 0.8 < float(np.mean(ratios)) < 1.2

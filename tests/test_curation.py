@@ -595,7 +595,7 @@ def test_round6_two_parallelism_determinism(spark):
     names = ("sk_cms_heavy", "sk_hll_distinct", "tx_dsir_weight",
              "tx_weighted_sample", "tx_bm25_topk",
              "dd_bloom_incremental", "ann_sq8_rerank",
-             "dd_containment", "tx_entropy")
+             "dd_containment", "tx_entropy", "vec_rp_project")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
