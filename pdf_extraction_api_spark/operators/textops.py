@@ -1955,6 +1955,55 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
+def tx_ccnet_bucket(spark, sf):
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, public): rank every doc per LANGUAGE by its LM score
+    (avg_log2p from the self-trained trigram LM — higher = more
+    fluent = lower perplexity) and cut into exact terciles: head =
+    the most fluent first third (what CCNet keeps for LM training),
+    tail = the garbled last third. Composes the audited
+    tx_trigram_ppl stage unchanged; bucketing is pure integer
+    arithmetic on the per-lang rank (rank*3 <= n etc.), ties on the
+    6-dp score broken by doc_id — no float boundary can flip a
+    bucket cross-engine.
+
+    Scale shape: the rank window partitions by lang (the CCNet
+    grouping) — no single-partition sort; at a 10^12-doc scale the
+    same cut uses approx_percentile cutoffs per lang instead of the
+    exact rank (the ev_quantiles caveat, documented there)."""
+    ppl = tx_trigram_ppl(spark, sf)
+    d = T(spark, sf, "documents").select("doc_id", "lang")
+    j = ppl.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_log2p"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    ranked = (j.withColumn("rk", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(wn)))
+    bucket = (F.when(F.col("rk") * 3 <= F.col("n"), "head")
+              .when(F.col("rk") * 3 <= F.col("n") * 2, "middle")
+              .otherwise("tail"))
+    return ranked.select(
+        "doc_id", "lang", "avg_log2p",
+        bucket.alias("ppl_bucket"))
+
+
+TX_CCNET_SQL = f"""
+WITH ppl AS ({TX_TRIGRAM_PPL_SQL}),
+ranked AS (
+  SELECT p.doc_id, d.lang, p.avg_log2p,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY p.avg_log2p DESC,
+                                     p.doc_id ASC) AS rk,
+         CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+  FROM ppl p JOIN documents d ON d.doc_id = p.doc_id)
+SELECT doc_id, lang, avg_log2p,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ranked
+"""
+
+
 RARE_DF_CAP = 16      # inverted-index prune: pair only on shingles
                       # seen in <= this many docs
 CONT_MIN_SHARED = 3   # candidate pairs must share this many rare
@@ -2065,6 +2114,7 @@ LIMIT {CONT_TOPK}
 
 QUERIES = {
     "dd_containment": (dd_containment, DD_CONTAINMENT_SQL),
+    "tx_ccnet_bucket": (tx_ccnet_bucket, TX_CCNET_SQL),
     "tx_bm25_topk": (tx_bm25_topk, _bm25_sql()),
     "tx_pack_sequences": (tx_pack_sequences, TX_PACK_SQL),
     "tx_pack_payloads": (tx_pack_payloads, TX_PACK_PAYLOADS_SQL),

@@ -595,7 +595,8 @@ def test_round6_two_parallelism_determinism(spark):
     names = ("sk_cms_heavy", "sk_hll_distinct", "tx_dsir_weight",
              "tx_weighted_sample", "tx_bm25_topk",
              "dd_bloom_incremental", "ann_sq8_rerank",
-             "dd_containment", "tx_entropy", "vec_rp_project")
+             "dd_containment", "tx_entropy", "vec_rp_project",
+             "tx_ccnet_bucket")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -714,3 +715,45 @@ def test_entropy_hand_values(spark, tmp_path):
     assert got[1][2] == 0.0 and got[1][3] is True
     assert got[0][3] is False
     assert 0 < got[2][2] < 4.0
+
+
+def test_ccnet_bucket_ground_truth(spark, tmp_path):
+    """Planted fluency gradient in one lang: a repeated-boilerplate
+    doc (every trigram seen 3x relative to its prefix mass) scores
+    highest and lands in head; a unique-text doc scores lowest and
+    lands in tail; tercile sizes follow the exact rank*3 rule."""
+    from pdf_extraction_api_spark.operators.textops import (
+        tx_ccnet_bucket,
+    )
+
+    rows = []
+    # 3 fluent docs: share the same trigram stream (high tri_n/pre_n)
+    common = " ".join(f"c{i}" for i in range(20))
+    for i in range(3):
+        rows.append((i, common, "en", "s", 1))
+    # 6 unique docs: every trigram unique (log2 p == 0 only if the
+    # prefix is also unique — here both are 1 → log2(1/1)=0... they
+    # share nothing so tri_n=1, pre_n=1 → avg 0, the ceiling) —
+    # instead make them share PREFIXES but not trigrams so pre_n >
+    # tri_n and the score is negative.
+    for i in range(6):
+        toks = " ".join(f"p{j} q{j} u{i}x{j}" for j in range(7))
+        rows.append((10 + i, toks, "en", "s", 1))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: (r.avg_log2p, r.ppl_bucket)
+           for r in tx_ccnet_bucket(spark, str(tmp_path)).collect()}
+    assert len(out) == 9
+    # identical docs score 0 (their trigrams are 3/3 of their prefix
+    # occurrences); unique-suffix docs score negative
+    for i in range(3):
+        assert out[i][0] == 0.0
+    for i in range(6):
+        assert out[10 + i][0] < 0.0
+    buckets = [out[i][1] for i in sorted(out)]
+    # 9 docs → head = rank 1-3 (the three score-0 docs), middle 4-6,
+    # tail 7-9
+    assert buckets[:3] == ["head"] * 3
+    assert sorted(buckets) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
