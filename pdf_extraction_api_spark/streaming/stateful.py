@@ -151,3 +151,80 @@ def sessionize_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming HyperLogLog: constant-state distinct counting --------
+# The streaming form of operators/curation.py:sk_hll_distinct — the
+# state per key is the 16 HLL registers (a few bytes, REGARDLESS of
+# how many distinct values stream past), updated by MAX per batch.
+# The cross-batch MAX is exactly the batch sketch's register build,
+# so after the final microbatch the running estimate is row-equal to
+# the batch operator's (pinned by test_stateful_stream.py).
+
+HLL_OUT = StructType([
+    StructField("source", StringType()),
+    StructField("n_seen", LongType()),    # cumulative rows observed
+    StructField("n_est", StringType()),   # %.4f — hash-stable
+])
+HLL_STATE = StructType([
+    StructField("regs", StringType()),    # ','-joined 16 registers
+    StructField("n_seen", LongType()),
+])
+
+
+def _hll_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    from ..operators.curation import (
+        _HLL_REM_BITS,
+        _HLL_RMAX,
+        HLL_ALPHA,
+        HLL_M,
+    )
+
+    regs = [0] * HLL_M
+    n_seen = 0
+    if state.exists:
+        blob, n_seen = state.get
+        regs = [int(x) for x in blob.split(",")]
+    for pdf in pdfs:
+        for h in pdf["h"].values:
+            h = int(h)
+            n_seen += 1
+            b = h >> _HLL_REM_BITS
+            rem = h & ((1 << _HLL_REM_BITS) - 1)
+            rank = (_HLL_RMAX if rem == 0
+                    else _HLL_REM_BITS - rem.bit_length() + 1)
+            if rank > regs[b]:
+                regs[b] = rank
+    state.update((",".join(map(str, regs)), n_seen))
+    s = sum(1 << (_HLL_RMAX - r) for r in regs)
+    n_zero = sum(r == 0 for r in regs)
+    e_raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RMAX) / s
+    if e_raw <= 2.5 * HLL_M and n_zero > 0:
+        import math
+
+        est = HLL_M * math.log(HLL_M / n_zero)
+    else:
+        est = e_raw
+    yield pd.DataFrame({"source": [key[0]], "n_seen": [n_seen],
+                        "n_est": [f"{round(est, 4):.4f}"]})
+
+
+def hll_stream(docs_stream: DataFrame) -> DataFrame:
+    """Running distinct-text estimate per source, constant state."""
+    keyed = docs_stream.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long").alias("h"))
+    return keyed.groupBy("source").applyInPandasWithState(
+        _hll_update,
+        outputStructType=HLL_OUT,
+        stateStructType=HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

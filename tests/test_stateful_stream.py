@@ -103,3 +103,61 @@ def test_stateful_sessionize_across_batches_and_restart(spark, tmp_path):
     mk([(5, 200, 7, 16.0)], str(src / "c.parquet"))
     second = run()
     assert second == {(7, 1): (2, "3.00"), (7, 2): (2, "12.00")}
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """Constant-state streaming HLL: after the last microbatch the
+    per-source running estimate is row-equal to the batch
+    sk_hll_distinct sketch on the same corpus (cross-batch register
+    MAX == batch register build), and state stays 16 registers no
+    matter how many docs stream past."""
+    from pdf_extraction_api_spark.operators.curation import (
+        sk_hll_distinct,
+    )
+    from pdf_extraction_api_spark.streaming.stateful import hll_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    # two half-files → every source's hashes split across microbatches
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    half = docs.count() // 2
+    a = docs.limit(half)
+    b = docs.subtract(a)
+    a.coalesce(1).write.parquet(str(src / "a.parquet"))
+    b.coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    # a.parquet/b.parquet are DIRECTORIES (DataFrame writes) — the
+    # file stream needs recursiveFileLookup to see the part files
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        hll_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_running")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT source, n_seen, n_est FROM hll_running").collect()
+    # final emission per source = the one with the largest n_seen
+    final = {}
+    for r in rows:
+        if r.source not in final or r.n_seen > final[r.source][0]:
+            final[r.source] = (r.n_seen, float(r.n_est))
+    batch = {r.source: r.n_est
+             for r in sk_hll_distinct(spark, sf).collect()
+             if r.source != "__all__"}
+    assert set(final) == set(batch)
+    for s_name, (_, est) in final.items():
+        assert est == pytest.approx(batch[s_name]), s_name
+    # the corpus streamed in 2 batches: at least one source saw both
+    assert len(rows) > len(final)
