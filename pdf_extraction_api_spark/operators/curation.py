@@ -1143,8 +1143,12 @@ def tx_weighted_sample(spark, sf):
          .cast("double") / F.lit(float(_H60)))
     key = -F.log(u) / F.col("n_chars").cast("double")
     # w > 0 guard: Spark doubles give +inf on /0 but DuckDB gives
-    # NULL — zero-weight rows are excluded identically instead
-    return (d.filter(F.col("n_chars") > 0)
+    # NULL — zero-weight rows are excluded identically instead.
+    # u > 0 guard (h == 0, p ~ 2^-60): Spark log(0) is NULL (would
+    # sort nulls-first into the sample) while DuckDB ln(0) throws —
+    # excluded identically too.
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (d.filter((F.col("n_chars") > 0) & (h > 0))
             .select("doc_id", F.col("n_chars").alias("w"),
                     F.round(key, 9).alias("es_key"))
             .orderBy(F.asc("es_key"), F.asc("doc_id"))
@@ -1158,6 +1162,7 @@ SELECT doc_id, n_chars AS w,
              / CAST(n_chars AS DOUBLE), 9) AS es_key
 FROM documents
 WHERE n_chars > 0
+  AND CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) > 0
 ORDER BY es_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
 """
 

@@ -122,9 +122,12 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
     # two half-files → every source's hashes split across microbatches
     src = tmp_path / "docs_stream"
     src.mkdir()
-    half = docs.count() // 2
-    a = docs.limit(half)
-    b = docs.subtract(a)
+    # split on a doc_id predicate — an unordered limit() would be
+    # re-evaluated nondeterministically between the write and the
+    # complement, silently dropping rows from the stream
+    mid = docs.agg({"doc_id": "avg"}).collect()[0][0]
+    a = docs.filter(docs.doc_id <= mid)
+    b = docs.filter(docs.doc_id > mid)
     a.coalesce(1).write.parquet(str(src / "a.parquet"))
     b.coalesce(1).write.parquet(str(src / "b.parquet"))
 
