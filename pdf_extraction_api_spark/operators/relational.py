@@ -1373,7 +1373,114 @@ GROUP BY c.cw, w.wk - c.cw
 """
 
 
+PR_ITERS = 3    # unrolled PageRank iterations
+PR_CAP = 64     # max distinct items per user feeding the pair join
+PR_TOPK = 20
+PR_NANO = 1_000_000_000   # fixed-point unit: total rank mass
+
+
+def ev_item_pagerank(spark, sf):
+    """PageRank over the item co-click graph — the iterative graph
+    primitive (beyond dd_components' connected components): items are
+    props.k of click events, an undirected edge links items a common
+    user clicked, and PR_ITERS damped iterations (d=0.85) rank items
+    by centrality. The arithmetic is EXACT FIXED-POINT: rank lives in
+    integer nano units, each neighbor contribution is pr_nano div
+    degree and the damping is (85*sum) div 100 — every step is BIGINT,
+    so no float summation order exists anywhere and DuckDB replays
+    the identical trajectory (values are within iter*1e-9 of float
+    PageRank; the integer contract IS the operator semantics).
+
+    Scale shape: the per-user pair join is capped at PR_CAP distinct
+    items per user (the capped_bucket_pairs discipline — a bot user
+    contributes at most CAP^2 pairs, not clicks^2); each iteration is
+    one join pr->edges plus one map-side-combinable sum per target;
+    the iteration count is a fixed constant so the plan is a static
+    chain, no driver-side convergence probes."""
+    e = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ui = (e.filter(F.col("event_type") == "click")
+          .select("user_id", k.alias("item")).distinct())
+    w_cap = Window.partitionBy("user_id").orderBy("item")
+    ui = (ui.withColumn("rk", F.row_number().over(w_cap))
+          .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    edges = (ui.alias("a").join(ui.alias("b"), "user_id")
+             .filter(F.col("a.item") != F.col("b.item"))
+             .select(F.col("a.item").alias("src"),
+                     F.col("b.item").alias("dst")).distinct())
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_nodes = deg.agg(F.count("*").alias("n"))
+    pr = (deg.join(F.broadcast(n_nodes))
+          .select(F.col("src").alias("item"), "d",
+                  F.expr(f"CAST({PR_NANO} AS BIGINT) div n")
+                  .alias("pr_nano"), "n"))
+    for _ in range(PR_ITERS):
+        contrib = (pr.join(edges, pr.item == edges.src)
+                   .select(F.col("dst").alias("item"),
+                           F.expr("pr_nano div d").alias("c")))
+        sums = contrib.groupBy("item").agg(F.sum("c").alias("s"))
+        pr = (pr.drop("pr_nano").join(sums, "item", "left")
+              .select("item", "d", "n",
+                      (F.expr(f"CAST({15 * PR_NANO // 100} AS BIGINT)"
+                              " div n")
+                       + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT)))"
+                                " div 100")).alias("pr_nano")))
+    return (pr.select("item", "d", "pr_nano",
+                      F.round(F.col("pr_nano").cast("double")
+                              / F.lit(float(PR_NANO)), 9).alias("pr"))
+            .orderBy(F.desc("pr_nano"), F.asc("item"))
+            .limit(PR_TOPK))
+
+
+def _pagerank_sql() -> str:
+    teleport = f"(CAST({15 * PR_NANO // 100} AS BIGINT) // n)"
+    its = ""
+    prev = "it0"
+    for i in range(1, PR_ITERS + 1):
+        its += f""",
+sums{i} AS (
+  SELECT e.dst AS item,
+         CAST(sum(p.pr_nano // p.d) AS BIGINT) AS s
+  FROM {prev} p JOIN edges e ON e.src = p.item
+  GROUP BY e.dst),
+it{i} AS (
+  SELECT p.item, p.d, p.n,
+         {teleport} + (85 * coalesce(s.s, CAST(0 AS BIGINT))) // 100
+           AS pr_nano
+  FROM (SELECT item, d, n FROM {prev}) p
+  LEFT JOIN sums{i} s ON s.item = p.item)"""
+        prev = f"it{i}"
+    return f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'),
+ui AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item)
+             AS rk
+    FROM ui0) WHERE rk <= {PR_CAP}),
+edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM ui a JOIN ui b
+    ON a.user_id = b.user_id AND a.item <> b.item),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+it0 AS (
+  SELECT d.src AS item, d.d, nn.n,
+         CAST({PR_NANO} AS BIGINT) // nn.n AS pr_nano
+  FROM deg d, nn){its}
+SELECT item, d, pr_nano,
+       round(CAST(pr_nano AS DOUBLE) / {PR_NANO}.0::DOUBLE, 9) AS pr
+FROM {prev}
+ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ev_item_pagerank": (ev_item_pagerank, _pagerank_sql()),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "ev_hopping": (ev_hopping, EV_HOPPING_SQL),

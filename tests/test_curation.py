@@ -596,7 +596,7 @@ def test_round6_two_parallelism_determinism(spark):
              "tx_weighted_sample", "tx_bm25_topk",
              "dd_bloom_incremental", "ann_sq8_rerank",
              "dd_containment", "tx_entropy", "vec_rp_project",
-             "tx_ccnet_bucket")
+             "tx_ccnet_bucket", "ev_item_pagerank")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -757,3 +757,55 @@ def test_ccnet_bucket_ground_truth(spark, tmp_path):
     # tail 7-9
     assert buckets[:3] == ["head"] * 3
     assert sorted(buckets) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_pagerank_star_ground_truth(spark, tmp_path):
+    """Integer-fixed-point PageRank on a planted star: the hub item
+    co-clicked by every user outranks all leaves, and every value
+    equals an exact Python replay of the same nano-unit integer
+    arithmetic (div-by-degree contributions, (85*s) div 100
+    damping)."""
+    import datetime as dt
+    import json
+
+    from pdf_extraction_api_spark.operators.relational import (
+        PR_ITERS,
+        PR_NANO,
+        ev_item_pagerank,
+    )
+
+    rows = []
+    eid = 0
+    ts = dt.datetime(2024, 1, 1)
+    for u in range(5):                   # user u clicks hub(0), leaf(u+1)
+        for item in (0, u + 1):
+            rows.append((eid, ts, u, "click", 1.0,
+                         json.dumps({"k": item})))
+            eid += 1
+    rows.append((eid, ts, 9, "view", 1.0, json.dumps({"k": 0})))
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [(r.item, r.d, r.pr_nano)
+           for r in ev_item_pagerank(spark, str(tmp_path)).collect()]
+
+    edges = set()
+    for u in range(5):
+        edges.add((0, u + 1)); edges.add((u + 1, 0))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    pr = {i: PR_NANO // n for i in deg}
+    for _ in range(PR_ITERS):
+        sums = {i: 0 for i in deg}
+        for s, d in edges:
+            sums[d] += pr[s] // deg[s]
+        pr = {i: (15 * PR_NANO // 100) // n + (85 * sums[i]) // 100
+              for i in deg}
+    want = sorted(((i, deg[i], pr[i]) for i in deg),
+                  key=lambda r: (-r[2], r[0]))
+    assert got == want
+    assert got[0][0] == 0 and got[0][1] == 5   # hub leads, degree 5
+    assert all(got[0][2] > g[2] for g in got[1:])
