@@ -1479,7 +1479,93 @@ ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
 """
 
 
+PMI_MIN_CO = 2   # min co-click users for a pair to be scored
+PMI_TOPK = 30
+
+
+def ev_pmi_pairs(spark, sf):
+    """Pointwise mutual information over co-clicked item pairs — the
+    association-mining primitive behind related-items and phrase
+    detection: PMI(a,b) = ln(n_ab * N / (n_a * n_b)) over DISTINCT
+    user sets (n_a = users who clicked a, n_ab = users who clicked
+    both, N = all clicking users). Positive PMI = the pair co-occurs
+    more than independence predicts. The score is a single ln of an
+    exact BIGINT rational — and the exact counts n_ab/n_a/n_b are
+    emitted alongside, so the hash pins the integer evidence, not
+    just the float.
+
+    Scale shape: the same PR_CAP per-user cap as ev_item_pagerank
+    bounds a bot user to CAP^2 pairs; the pair count is one
+    map-side-combinable hash agg; item user-counts broadcast back
+    onto the bounded pair set; final top-k is TakeOrderedAndProject
+    over the rounded score."""
+    e = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ui = (e.filter(F.col("event_type") == "click")
+          .select("user_id", k.alias("item")).distinct())
+    w_cap = Window.partitionBy("user_id").orderBy("item")
+    ui = (ui.withColumn("rk", F.row_number().over(w_cap))
+          .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    n_total = ui.select("user_id").distinct().agg(
+        F.count("*").alias("n_users"))
+    item_n = ui.groupBy("item").agg(F.count("*").alias("n_item"))
+    pairs = (ui.alias("a").join(ui.alias("b"), "user_id")
+             .filter(F.col("a.item") < F.col("b.item"))
+             .groupBy(F.col("a.item").alias("item_a"),
+                      F.col("b.item").alias("item_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= PMI_MIN_CO))
+    na = item_n.select(F.col("item").alias("item_a"),
+                       F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("item_b"),
+                       F.col("n_item").alias("n_b"))
+    pmi = F.log(F.col("n_ab").cast("double") * F.col("n_users")
+                / (F.col("n_a") * F.col("n_b")).cast("double"))
+    return (pairs.join(F.broadcast(na), "item_a")
+            .join(F.broadcast(nb), "item_b")
+            .join(F.broadcast(n_total))
+            .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                    F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("item_a"), F.asc("item_b"))
+            .limit(PMI_TOPK))
+
+
+EV_PMI_SQL = f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'),
+ui AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item)
+             AS rk
+    FROM ui0) WHERE rk <= {PR_CAP}),
+nt AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM ui),
+item_n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item
+  FROM ui GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM ui a JOIN ui b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= {PMI_MIN_CO})
+SELECT p.item_a, p.item_b, p.n_ab,
+       na.n_item AS n_a, nb.n_item AS n_b,
+       round(ln(CAST(p.n_ab AS DOUBLE) * nt.n_users
+                / CAST(na.n_item * nb.n_item AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN item_n na ON na.item = p.item_a
+JOIN item_n nb ON nb.item = p.item_b, nt
+ORDER BY pmi DESC, item_a ASC, item_b ASC LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ev_pmi_pairs": (ev_pmi_pairs, EV_PMI_SQL),
     "ev_item_pagerank": (ev_item_pagerank, _pagerank_sql()),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),

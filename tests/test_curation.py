@@ -596,7 +596,7 @@ def test_round6_two_parallelism_determinism(spark):
              "tx_weighted_sample", "tx_bm25_topk",
              "dd_bloom_incremental", "ann_sq8_rerank",
              "dd_containment", "tx_entropy", "vec_rp_project",
-             "tx_ccnet_bucket", "ev_item_pagerank")
+             "tx_ccnet_bucket", "ev_item_pagerank", "ev_pmi_pairs")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -809,3 +809,54 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert got == want
     assert got[0][0] == 0 and got[0][1] == 5   # hub leads, degree 5
     assert all(got[0][2] > g[2] for g in got[1:])
+
+
+def test_pmi_pairs_ground_truth(spark, tmp_path):
+    """PMI on a planted co-click design: items (1,2) always co-clicked
+    (PMI = ln(N / n) > 0 strongest pair), items (1,3) co-clicked at
+    exactly the independence rate (PMI ~ 0), and every emitted row
+    matches the exact integer evidence + ln recompute."""
+    import datetime as dt
+    import json
+    import math
+
+    from pdf_extraction_api_spark.operators.relational import (
+        ev_pmi_pairs,
+    )
+
+    # 8 users: all click 1 (a "universal" item: PMI 0 with anything);
+    # users 0-3 click 2; users 0,2,4,6 click 3 (independent of 2);
+    # users 0,1 click BOTH 4 and 5 (exclusive pair: positive PMI)
+    clicks = {u: [1] for u in range(8)}
+    for u in range(4):
+        clicks[u].append(2)
+    for u in (0, 2, 4, 6):
+        clicks[u].append(3)
+    for u in (0, 1):
+        clicks[u] += [4, 5]
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 1)
+    for u, items in clicks.items():
+        for it in items:
+            rows.append((eid, ts, u, "click", 1.0,
+                         json.dumps({"k": it})))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.pmi)
+           for r in ev_pmi_pairs(spark, str(tmp_path)).collect()}
+
+    n = {1: 8, 2: 4, 3: 4, 4: 2, 5: 2}
+    # (3,4)/(3,5) overlap only at user 0 — below PMI_MIN_CO, absent
+    co = {(1, 2): 4, (1, 3): 4, (2, 3): 2, (1, 4): 2, (1, 5): 2,
+          (4, 5): 2, (2, 4): 2, (2, 5): 2}
+    want = {p: (c, n[p[0]], n[p[1]],
+                round(math.log(c * 8 / (n[p[0]] * n[p[1]])), 6))
+            for p, c in co.items()}
+    assert got == want
+    assert got[(4, 5)][3] == round(math.log(4), 6)  # exclusive pair
+    assert got[(4, 5)][3] == max(v[3] for v in got.values())
+    assert got[(1, 2)][3] == 0.0        # universal item: ln(1)
+    assert got[(2, 3)][3] == 0.0        # exact independence
