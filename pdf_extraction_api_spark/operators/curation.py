@@ -1167,6 +1167,79 @@ ORDER BY es_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
 """
 
 
+ZIPF_TOPN = 100   # vocabulary head used for the rank-frequency fit
+_ZU = 1_000_000   # micro-unit fixed point for the ln terms
+
+
+def tx_zipf_fit(spark, sf):
+    """Zipf rank-frequency fit — the corpus-naturalness diagnostic:
+    least-squares slope of ln(freq) vs ln(rank) over the ZIPF_TOPN
+    most frequent tokens (natural language reads slope ~ -1; template
+    spam and gibberish deviate hard). Cross-engine exact: each ln is
+    frozen once to integer MICRO units, all four regression sums
+    (Sx, Sy, Sxy, Sxx) are then BIGINT — no float summation order —
+    and slope/intercept are single closed-form divisions of exact
+    integers at the end. Product terms x_u*y_u stay < 2^63 at micro
+    (not nano) scale, which is why this op uses 1e6 units.
+
+    Scale shape: one token-count shuffle (any tokenizing op's cost),
+    TakeOrderedAndProject for the head, then a single-row fold over
+    ZIPF_TOPN rows — the regression state is four integers."""
+    d = T(spark, sf, "documents")
+    cnt = (d.select(F.explode(ws_tokens()).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c")))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    head = (cnt.orderBy(F.desc("c"), F.asc("tok")).limit(ZIPF_TOPN)
+            .withColumn("r", F.row_number().over(w)))
+    xu = F.round(F.log(F.col("r").cast("double")) * _ZU, 0).cast("long")
+    yu = F.round(F.log(F.col("c").cast("double")) * _ZU, 0).cast("long")
+    terms = head.select(xu.alias("xu"), yu.alias("yu"))
+    sums = terms.agg(
+        F.count("*").alias("n"),
+        F.sum("xu").alias("sx"), F.sum("yu").alias("sy"),
+        F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("xu") * F.col("xu")).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = num.cast("double") / den.cast("double")
+    intercept = (F.col("sy").cast("double") / _ZU
+                 - slope * F.col("sx").cast("double") / _ZU) / F.col("n")
+    return sums.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"))
+
+
+TX_ZIPF_SQL = f"""
+WITH cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({WS_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY tok),
+head AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+  FROM (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC
+        LIMIT {ZIPF_TOPN})),
+terms AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * {_ZU}, 0) AS BIGINT) AS xu,
+         CAST(round(ln(CAST(c AS DOUBLE)) * {_ZU}, 0) AS BIGINT) AS yu
+  FROM head),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+         CAST(sum(xu * yu) AS BIGINT) AS sxy,
+         CAST(sum(xu * xu) AS BIGINT) AS sxx
+  FROM terms)
+SELECT n AS n_vocab,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) / {_ZU}
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / {_ZU}) / n, 6) AS zipf_intercept
+FROM sums
+"""
+
+
 ENTROPY_LOW = 2.0   # bits; below = repetitive/template suspect
 
 
@@ -1227,6 +1300,7 @@ FROM per_doc
 QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
+    "tx_zipf_fit": (tx_zipf_fit, TX_ZIPF_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),

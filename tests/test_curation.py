@@ -596,7 +596,8 @@ def test_round6_two_parallelism_determinism(spark):
              "tx_weighted_sample", "tx_bm25_topk",
              "dd_bloom_incremental", "ann_sq8_rerank",
              "dd_containment", "tx_entropy", "vec_rp_project",
-             "tx_ccnet_bucket", "ev_item_pagerank", "ev_pmi_pairs")
+             "tx_ccnet_bucket", "ev_item_pagerank", "ev_pmi_pairs",
+             "tx_zipf_fit")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -860,3 +861,51 @@ def test_pmi_pairs_ground_truth(spark, tmp_path):
     assert got[(4, 5)][3] == max(v[3] for v in got.values())
     assert got[(1, 2)][3] == 0.0        # universal item: ln(1)
     assert got[(2, 3)][3] == 0.0        # exact independence
+
+
+def test_zipf_fit_ground_truth(spark, tmp_path):
+    """Zipf fit on a PLANTED power law (token t_r repeated
+    round(1000/r) times): recovered slope matches an exact Python
+    replay of the micro-unit integer regression and sits near -1;
+    intercept near ln(1000)."""
+    import math
+
+    from pdf_extraction_api_spark.operators.curation import (
+        _ZU,
+        ZIPF_TOPN,
+        tx_zipf_fit,
+    )
+
+    toks = []
+    for r in range(1, 51):
+        toks += [f"t{r:02d}"] * max(1, round(1000 / r))
+    text = " ".join(toks)
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = tx_zipf_fit(spark, str(tmp_path)).collect()[0]
+
+    from collections import Counter
+    counts = Counter(toks)
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    head = head[:ZIPF_TOPN]
+
+    def u(x):
+        v = x * _ZU
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    xs = [u(math.log(r + 1)) for r in range(len(head))]
+    ys = [u(math.log(c)) for _, c in head]
+    n = len(head)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / _ZU - slope * sx / _ZU) / n
+    assert got.n_vocab == 50
+    assert got.zipf_slope == pytest.approx(round(slope, 6))
+    assert got.zipf_intercept == pytest.approx(round(intercept, 6))
+    assert -1.1 < got.zipf_slope < -0.9     # the planted power law
+    assert abs(got.zipf_intercept - math.log(1000)) < 0.35
