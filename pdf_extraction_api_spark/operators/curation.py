@@ -1167,6 +1167,77 @@ ORDER BY es_key ASC, doc_id ASC LIMIT {WSAMPLE_K}
 """
 
 
+SUBSTR_W = 8   # sliding window width (tokens) for substring dedup
+
+
+def dd_substr_dup(spark, sf):
+    """Sliding-window cross-doc duplication rate — the ExactSubstr
+    framing (Lee et al. 2022, Deduplicating Training Data, public):
+    every SUBSTR_W-token SLIDING window is hashed; a window is
+    duplicated if the same token run appears in >= 2 distinct docs;
+    each doc reports the fraction of its windows that are duplicated.
+    Complements [dd_common_segments]: the disjoint-chunk variant
+    misses shifted copies by construction (its own test pins that);
+    the sliding form catches any alignment, which is why the paper
+    uses it for exact substring dedup.
+
+    Scale shape: window hashes are a zero-shuffle HOF transform over
+    the token array (no posexplode until the count agg); the dup-hash
+    table is one map-side-combinable agg pruned to n_docs >= 2
+    BEFORE it joins back (only duplicated hashes travel — on a web
+    corpus that is the long tail's tiny head); per-doc rollup is one
+    final hash agg."""
+    d = T(spark, sf, "documents")
+    toked = (d.select("doc_id", ws_tokens().alias("toks"))
+             .filter(F.size("toks") >= SUBSTR_W))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - SUBSTR_W),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice("toks", i + 1, SUBSTR_W))))
+    wh = (toked.select("doc_id", F.explode(wins).alias("h")))
+    dup = (wh.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= 2)
+           .select("h"))
+    per_doc = wh.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dup_per_doc = (wh.join(dup, "h")
+                   .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
+    return (per_doc.join(dup_per_doc, "doc_id", "left")
+            .select(
+                "doc_id", "n_windows",
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                F.round(F.coalesce("n_dup", F.lit(0))
+                        / F.col("n_windows").cast("double"), 6)
+                .alias("dup_frac")))
+
+
+DD_SUBSTR_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {WS_TOKS_SQL} AS toks FROM documents),
+wh AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i + 1 : i + {SUBSTR_W}], ' ')) AS h
+  FROM toked, LATERAL (
+    SELECT unnest(range(len(toks) - {SUBSTR_W} + 1)) AS i) t
+  WHERE len(toks) >= {SUBSTR_W}),
+dup AS (
+  SELECT h FROM wh GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+  FROM wh GROUP BY doc_id),
+dup_per_doc AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+  FROM wh w JOIN dup d ON d.h = w.h
+  GROUP BY w.doc_id)
+SELECT p.doc_id, p.n_windows,
+       CAST(coalesce(dp.n_dup, 0) AS BIGINT) AS n_dup,
+       round(CAST(coalesce(dp.n_dup, 0) AS DOUBLE)
+             / CAST(p.n_windows AS DOUBLE), 6) AS dup_frac
+FROM per_doc p LEFT JOIN dup_per_doc dp ON dp.doc_id = p.doc_id
+"""
+
+
 ZIPF_TOPN = 100   # vocabulary head used for the rank-frequency fit
 _ZU = 1_000_000   # micro-unit fixed point for the ln terms
 
@@ -1301,6 +1372,7 @@ QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
     "tx_zipf_fit": (tx_zipf_fit, TX_ZIPF_SQL),
+    "dd_substr_dup": (dd_substr_dup, DD_SUBSTR_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),

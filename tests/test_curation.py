@@ -597,7 +597,7 @@ def test_round6_two_parallelism_determinism(spark):
              "dd_bloom_incremental", "ann_sq8_rerank",
              "dd_containment", "tx_entropy", "vec_rp_project",
              "tx_ccnet_bucket", "ev_item_pagerank", "ev_pmi_pairs",
-             "tx_zipf_fit")
+             "tx_zipf_fit", "dd_substr_dup")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -909,3 +909,47 @@ def test_zipf_fit_ground_truth(spark, tmp_path):
     assert got.zipf_intercept == pytest.approx(round(intercept, 6))
     assert -1.1 < got.zipf_slope < -0.9     # the planted power law
     assert abs(got.zipf_intercept - math.log(1000)) < 0.35
+
+
+def test_substr_dup_sliding_catches_shifted_copy(spark, tmp_path):
+    """The sliding-window form catches a SHIFTED copied run (the case
+    the disjoint-chunk dd_common_segments provably misses): doc 1
+    embeds doc 0's 12-token run at offset 1; both docs report
+    duplicated windows matching an exact Python recompute; the
+    unrelated doc reports zero."""
+    from pdf_extraction_api_spark.operators.curation import (
+        SUBSTR_W,
+        dd_substr_dup,
+    )
+
+    run = [f"r{i}" for i in range(12)]
+    d0 = run + [f"a{i}" for i in range(6)]
+    d1 = ["z0"] + run + [f"b{i}" for i in range(5)]
+    d2 = [f"q{i}" for i in range(18)]
+    texts = {0: " ".join(d0), 1: " ".join(d1), 2: " ".join(d2)}
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_windows, r.n_dup, r.dup_frac)
+           for r in dd_substr_dup(spark, str(tmp_path)).collect()}
+
+    def windows(toks):
+        return [" ".join(toks[i:i + SUBSTR_W])
+                for i in range(len(toks) - SUBSTR_W + 1)]
+
+    wins = {0: windows(d0), 1: windows(d1), 2: windows(d2)}
+    from collections import Counter
+    owner = {}
+    for i, ws in wins.items():
+        for w in set(ws):
+            owner.setdefault(w, set()).add(i)
+    dup = {w for w, docs in owner.items() if len(docs) >= 2}
+    for i, ws in wins.items():
+        n_dup = sum(w in dup for w in ws)
+        assert got[i] == (len(ws), n_dup,
+                          round(n_dup / len(ws), 6)), i
+    assert got[0][1] == 12 - SUBSTR_W + 1   # all 5 run-windows shared
+    assert got[1][1] == 12 - SUBSTR_W + 1
+    assert got[2][1] == 0
