@@ -1479,6 +1479,58 @@ ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
 """
 
 
+def ev_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the sequence-modeling primitive behind next-action
+    prediction and funnel diagnostics: order each user's events by
+    (ts, event_id), count (current -> next) type pairs, and emit
+    P(next | current) alongside the exact BIGINT counts (the count
+    columns pin the evidence; the probability is one division of
+    exact integers). Deterministic ordering: the (ts, event_id) sort
+    key is unique per user.
+
+    Scale shape: ONE shuffle (the per-user window sort) — lag() is
+    computed in the same WindowExec; the transition rollup is a
+    map-side-combinable hash agg over at most |event_types|^2 = 25
+    result rows, and the per-current totals broadcast back."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("next_type",
+                         F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("cur"),
+                      F.col("next_type").alias("nxt"))
+             .agg(F.count("*").alias("n")))
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (pairs.join(F.broadcast(totals), "cur")
+            .select("cur", "nxt", "n", "n_cur",
+                    F.round(F.col("n").cast("double")
+                            / F.col("n_cur").cast("double"), 6)
+                    .alias("p"))
+            .orderBy("cur", "nxt"))
+
+
+EV_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+counts AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt),
+totals AS (
+  SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur
+  FROM counts GROUP BY cur)
+SELECT c.cur, c.nxt, c.n, t.n_cur,
+       round(CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE), 6) AS p
+FROM counts c JOIN totals t ON t.cur = c.cur
+ORDER BY c.cur, c.nxt
+"""
+
+
 PMI_MIN_CO = 2   # min co-click users for a pair to be scored
 PMI_TOPK = 30
 
@@ -1566,6 +1618,7 @@ ORDER BY pmi DESC, item_a ASC, item_b ASC LIMIT {PMI_TOPK}
 
 QUERIES: dict[str, tuple] = {
     "ev_pmi_pairs": (ev_pmi_pairs, EV_PMI_SQL),
+    "ev_markov_transitions": (ev_markov_transitions, EV_MARKOV_SQL),
     "ev_item_pagerank": (ev_item_pagerank, _pagerank_sql()),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),

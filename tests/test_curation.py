@@ -597,7 +597,7 @@ def test_round6_two_parallelism_determinism(spark):
              "dd_bloom_incremental", "ann_sq8_rerank",
              "dd_containment", "tx_entropy", "vec_rp_project",
              "tx_ccnet_bucket", "ev_item_pagerank", "ev_pmi_pairs",
-             "tx_zipf_fit", "dd_substr_dup")
+             "tx_zipf_fit", "dd_substr_dup", "ev_markov_transitions")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
     try:
@@ -953,3 +953,44 @@ def test_substr_dup_sliding_catches_shifted_copy(spark, tmp_path):
     assert got[0][1] == 12 - SUBSTR_W + 1   # all 5 run-windows shared
     assert got[1][1] == 12 - SUBSTR_W + 1
     assert got[2][1] == 0
+
+
+def test_markov_transitions_ground_truth(spark, tmp_path):
+    """Transition matrix on planted sequences: user 0 strictly
+    alternates view->click, user 1 runs view->view->purchase; counts
+    and P(next|cur) match the hand matrix and rows per `cur` sum to
+    1."""
+    import datetime as dt
+
+    from pdf_extraction_api_spark.operators.relational import (
+        ev_markov_transitions,
+    )
+
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 1, 1)
+    for i, et in enumerate(["view", "click"] * 3):     # user 0
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 0, et,
+                     1.0, "{}")); eid += 1
+    for i, et in enumerate(["view", "view", "purchase"]):  # user 1
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 1, et,
+                     1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(r.cur, r.nxt): (r.n, r.n_cur, r.p)
+           for r in ev_markov_transitions(spark, str(tmp_path)).collect()}
+
+    # user 0 pairs: v->c x3, c->v x2; user 1: v->v, v->purchase
+    want = {
+        ("view", "click"): (3, 5, round(3 / 5, 6)),
+        ("view", "view"): (1, 5, 0.2),
+        ("view", "purchase"): (1, 5, 0.2),
+        ("click", "view"): (2, 2, 1.0),
+    }
+    assert got == want
+    by_cur = {}
+    for (cur, _), (_, _, p) in got.items():
+        by_cur[cur] = by_cur.get(cur, 0.0) + p
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-9, cur
