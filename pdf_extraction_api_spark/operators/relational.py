@@ -836,6 +836,34 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def a16_grouping_sets(spark, sf):
+    """Arbitrary GROUPING SETS (the third grouping form next to
+    a13_rollup / a14_cube): totals by (returnflag), by (linestatus),
+    and the grand total in ONE pass — the exact set list, not the
+    rollup hierarchy or the full cube. Spark route: groupingSets via
+    SQL (the DataFrame API gained it only in 4.0's cube/rollup
+    generalization; SQL is the stable surface). One Expand + one
+    hash agg, same plan class as rollup."""
+    e = T(spark, sf, "lineitem")
+    e.createOrReplaceTempView("a16_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status
+        FROM a16_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+A16_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def q3_shipping_topk(spark, sf):
     """TPC-H Q3-shaped 3-way join → agg → top-k (the multi-join
     reordering + TakeOrdered headline)."""
@@ -1668,6 +1696,7 @@ QUERIES: dict[str, tuple] = {
     "j6_exists_correlated": (j6_exists_correlated, J6_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     "a14_cube": (a14_cube, A14_SQL),
+    "a16_grouping_sets": (a16_grouping_sets, A16_SQL),
     "a15_dispersion": (a15_dispersion, A15_SQL),
     "d1_dedup_hash": (d1_dedup_hash, D1_SQL),
 }

@@ -994,3 +994,31 @@ def test_markov_transitions_ground_truth(spark, tmp_path):
         by_cur[cur] = by_cur.get(cur, 0.0) + p
     for cur, total in by_cur.items():
         assert abs(total - 1.0) < 1e-9, cur
+
+
+def test_grouping_sets_matches_direct_groupbys(spark):
+    """The three grouping sets equal the three direct aggregations:
+    per-returnflag counts, per-linestatus counts, and the grand
+    total — with the grouping() flags identifying each set."""
+    from pdf_extraction_api_spark.operators.relational import (
+        a16_grouping_sets,
+    )
+
+    rows = a16_grouping_sets(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    by_flag = {r.l_returnflag: r["count"]
+               for r in li.groupBy("l_returnflag").count().collect()}
+    by_status = {r.l_linestatus: r["count"]
+                 for r in li.groupBy("l_linestatus").count().collect()}
+    total = li.count()
+
+    got_flag = {r.l_returnflag: r.n for r in rows
+                if r.g_flag == 0 and r.g_status == 1}
+    got_status = {r.l_linestatus: r.n for r in rows
+                  if r.g_flag == 1 and r.g_status == 0}
+    got_total = [r.n for r in rows
+                 if r.g_flag == 1 and r.g_status == 1]
+    assert got_flag == by_flag
+    assert got_status == by_status
+    assert got_total == [total]
+    assert len(rows) == len(by_flag) + len(by_status) + 1
