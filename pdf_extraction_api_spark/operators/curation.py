@@ -1186,7 +1186,15 @@ def dd_substr_dup(spark, sf):
     table is one map-side-combinable agg pruned to n_docs >= 2
     BEFORE it joins back (only duplicated hashes travel — on a web
     corpus that is the long tail's tiny head); per-doc rollup is one
-    final hash agg."""
+    final hash agg. The corpus-token-sized exploded window table is
+    the heaviest intermediate, so it is tokenized ONCE: n_windows is
+    derived map-side from the token array (size - W + 1, never
+    touching the exploded form) and the exploded table is persisted
+    (MEMORY_AND_DISK, the [dd_ngram_jaccard] discipline) for its two
+    remaining consumers instead of re-running tokenize + window-hash
+    + explode three times (round-6 verdict #1)."""
+    from pyspark import StorageLevel
+
     d = T(spark, sf, "documents")
     toked = (d.select("doc_id", ws_tokens().alias("toks"))
              .filter(F.size("toks") >= SUBSTR_W))
@@ -1194,12 +1202,15 @@ def dd_substr_dup(spark, sf):
         F.sequence(F.lit(0), F.size("toks") - SUBSTR_W),
         lambda i: F.md5(F.concat_ws(
             " ", F.slice("toks", i + 1, SUBSTR_W))))
-    wh = (toked.select("doc_id", F.explode(wins).alias("h")))
+    wh = (toked.select("doc_id", F.explode(wins).alias("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     dup = (wh.groupBy("h")
            .agg(F.count_distinct("doc_id").alias("n_docs"))
            .filter(F.col("n_docs") >= 2)
            .select("h"))
-    per_doc = wh.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    per_doc = toked.select(
+        "doc_id",
+        (F.size("toks") - SUBSTR_W + 1).cast("long").alias("n_windows"))
     dup_per_doc = (wh.join(dup, "h")
                    .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
     return (per_doc.join(dup_per_doc, "doc_id", "left")

@@ -147,6 +147,23 @@ def test_asof_and_packing_plan_budgets(spark, registry):
     assert "toks#" not in p  # token arrays never materialize at all
 
 
+def test_substr_dup_single_tokenize_pass(spark, registry):
+    """dd_substr_dup's corpus-token-sized exploded window table must
+    be computed ONCE (round-6 verdict #1): the plan shows exactly two
+    InMemoryTableScan reads of the persisted explode (dup-hash agg +
+    dup-per-doc join) and NO live Generate-explode subtree outside
+    the cached relation (n_windows derives map-side from the token
+    array, never from the exploded form). Every 'Generate explode'
+    occurrence in the plan string is the cached plan reprinted under
+    its scans, so live copies would push the count past the scan
+    count."""
+    queries, _ = registry
+    p = (queries["dd_substr_dup"](spark, SF)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert p.count("InMemoryTableScan") == 2, p
+    assert p.count("Generate explode") <= p.count("InMemoryTableScan"), p
+
+
 def test_asof_two_parallelism_determinism(spark, registry):
     """The round-6 sort-based as-of plan returns identical rows at 2
     vs 32 shuffle partitions (the in-session N vs 4N proxy — same
