@@ -1249,6 +1249,122 @@ FROM per_doc p LEFT JOIN dup_per_doc dp ON dp.doc_id = p.doc_id
 """
 
 
+def tx_substr_scrub(spark, sf):
+    """ExactSubstr span SCRUBBING — the transformer that closes the
+    sliding-window dedup family (Lee et al. 2022): [dd_substr_dup]
+    only REPORTS the duplicated-window rate, and [tx_segment_scrub]
+    removes disjoint 8-token chunks so SHIFTED copies survive it (its
+    own docstring admits the gap). Here every SUBSTR_W-token sliding
+    window appearing in >= 2 distinct docs marks its covered token
+    range for removal in every doc except the first (min doc_id)
+    containing it; overlapping/adjacent marked windows are MERGED
+    into maximal spans, the covered tokens are dropped, and the
+    document is rebuilt from the survivors — so a copied run is
+    removed wholesale regardless of alignment.
+
+    Scale shape: window hashes are the same zero-shuffle HOF
+    transform as dd_substr_dup; the dup table is pruned to
+    n_docs >= 2 before joining back (only duplicated hashes travel);
+    duplicated POSITIONS (not text) shuffle once per doc for the
+    span merge — a sorted-array fold, no Window; the rebuild is one
+    broadcast-or-hash join back to the token arrays and a pure
+    map-side filter-by-index. Exactly one payload-carrying shuffle
+    (the rebuild join), the minimum for a rewriter whose output is
+    the text."""
+    d = T(spark, sf, "documents")
+    toked = (d.select("doc_id", ws_tokens().alias("toks"))
+             .filter(F.size("toks") >= SUBSTR_W))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - SUBSTR_W),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice("toks", i + 1, SUBSTR_W))))
+    wh = toked.select(
+        "doc_id", F.posexplode(wins).alias("pos", "h"))
+    dup = (wh.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("first_doc"))
+           .filter(F.col("n_docs") >= 2)
+           .select("h", "first_doc"))
+    dpos = (wh.join(dup, "h")
+            .filter(F.col("doc_id") > F.col("first_doc"))
+            .select("doc_id", "pos"))
+    # sorted window starts fold into maximal merged spans: positions
+    # are distinct and ascending, so a start p extends the open span
+    # iff p <= last.e + 1, and the new end is always p + W - 1
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.array_sort(F.collect_list("pos")),
+        empty,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (p + SUBSTR_W - 1).cast("int").alias("e"))))
+        ).otherwise(F.concat(acc, F.array(F.struct(
+            p.cast("int").alias("s"),
+            (p + SUBSTR_W - 1).cast("int").alias("e"))))))
+    spans = dpos.groupBy("doc_id").agg(merged.alias("spans"))
+    joined = toked.join(spans, "doc_id", "left").select(
+        "doc_id", "toks", F.coalesce("spans", empty).alias("spans"))
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            "spans", lambda s: (s["s"] <= i) & (i <= s["e"])))
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size("spans").cast("long").alias("n_spans"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_scrubbed"),
+        F.array_join(kept, " ").alias("clean_text"))
+
+
+TX_SUBSTR_SCRUB_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {WS_TOKS_SQL} AS toks FROM documents
+  WHERE len({WS_TOKS_SQL}) >= {SUBSTR_W}),
+wh AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i + 1 : i + {SUBSTR_W}], ' ')) AS h
+  FROM toked, LATERAL (
+    SELECT unnest(range(len(toks) - {SUBSTR_W} + 1)) AS i) t),
+dup AS (
+  SELECT h, min(doc_id) AS first_doc FROM wh GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2),
+dpos AS (
+  SELECT w.doc_id, w.pos FROM wh w
+  JOIN dup d ON d.h = w.h AND w.doc_id > d.first_doc),
+toks AS (
+  SELECT doc_id, t.i AS ti, toks[t.i + 1] AS tok
+  FROM toked, LATERAL (SELECT unnest(range(len(toks))) AS i) t),
+cov AS (
+  SELECT t.doc_id, t.ti, t.tok, count(p.pos) > 0 AS covered
+  FROM toks t LEFT JOIN dpos p
+    ON p.doc_id = t.doc_id
+   AND t.ti BETWEEN p.pos AND p.pos + {SUBSTR_W} - 1
+  GROUP BY t.doc_id, t.ti, t.tok),
+spans AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+  FROM dpos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dpos q
+    WHERE q.doc_id = p.doc_id
+      AND q.pos < p.pos AND q.pos >= p.pos - {SUBSTR_W})
+  GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(coalesce(min(s.n_spans), 0) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_scrubbed,
+       coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                           ' ' ORDER BY ti), '') AS clean_text
+FROM cov c LEFT JOIN spans s ON s.doc_id = c.doc_id
+GROUP BY c.doc_id
+"""
+
+
 ZIPF_TOPN = 100   # vocabulary head used for the rank-frequency fit
 _ZU = 1_000_000   # micro-unit fixed point for the ln terms
 
@@ -1384,6 +1500,7 @@ QUERIES = {
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
     "tx_zipf_fit": (tx_zipf_fit, TX_ZIPF_SQL),
     "dd_substr_dup": (dd_substr_dup, DD_SUBSTR_SQL),
+    "tx_substr_scrub": (tx_substr_scrub, TX_SUBSTR_SCRUB_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),

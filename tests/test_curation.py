@@ -955,6 +955,40 @@ def test_substr_dup_sliding_catches_shifted_copy(spark, tmp_path):
     assert got[2][1] == 0
 
 
+def test_substr_scrub_removes_shifted_span(spark, tmp_path):
+    """The span-merging ExactSubstr scrubber removes a SHIFTED copied
+    run wholesale — the case tx_segment_scrub's disjoint 8-token
+    chunks provably miss (its chunk test pins that miss): doc 1
+    embeds doc 0's 12-token run at offset 1 (misaligned with every
+    chunk boundary); the scrub drops exactly those 12 tokens from
+    doc 1 as ONE merged span, keeps doc 0 (first-wins) and the
+    unrelated doc verbatim."""
+    from pdf_extraction_api_spark.operators.curation import (
+        tx_substr_scrub,
+    )
+
+    run = [f"r{i}" for i in range(12)]
+    d0 = run + [f"a{i}" for i in range(6)]
+    d1 = ["z0"] + run + [f"b{i}" for i in range(5)]
+    d2 = [f"q{i}" for i in range(18)]
+    texts = {0: " ".join(d0), 1: " ".join(d1), 2: " ".join(d2)}
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           tx_substr_scrub(spark, str(tmp_path)).collect()}
+
+    assert got[0].n_spans == 0 and got[0].n_scrubbed == 0
+    assert got[0].clean_text == texts[0]          # first-wins keeper
+    assert got[1].n_spans == 1                    # merged, not 5
+    assert got[1].n_scrubbed == 12                # the whole run
+    assert got[1].clean_text == " ".join(["z0"] + d1[13:])
+    assert "r0" not in got[1].clean_text          # shifted copy gone
+    assert got[2].n_spans == 0 and got[2].clean_text == texts[2]
+
+
 def test_markov_transitions_ground_truth(spark, tmp_path):
     """Transition matrix on planted sequences: user 0 strictly
     alternates view->click, user 1 runs view->view->purchase; counts
