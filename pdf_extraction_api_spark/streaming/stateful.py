@@ -228,3 +228,77 @@ def hll_stream(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUT = StructType([
+    StructField("source", StringType()),
+    StructField("n_toks", LongType()),
+    StructField("grid", StringType()),  # ','-joined CMS_D*CMS_W cells
+])
+CMS_STATE = StructType([
+    StructField("grid", StringType()),
+    StructField("n_toks", LongType()),
+])
+
+
+def _cms_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Constant-state streaming count-min sketch: the per-source state
+    is the CMS_D x CMS_W cell grid (256 integers) no matter how many
+    tokens stream past — the incremental twin of the batch
+    [sk_cms_heavy] sketch. Bucketing happens JVM-side in cms_stream
+    (the identical md5 salt expressions as the batch op), so this
+    update is a pure grid increment; per-source grids are MERGEABLE
+    by cell-wise sum (the test pins sum-of-streamed-grids probe-equal
+    to the batch global sketch)."""
+    import pandas as pd
+
+    from ..operators.curation import CMS_D, CMS_W
+
+    grid = [0] * (CMS_D * CMS_W)
+    n_toks = 0
+    if state.exists:
+        blob, n_toks = state.get
+        grid = [int(x) for x in blob.split(",")]
+    for pdf in pdfs:
+        for j, b in zip(pdf["j"].values, pdf["b"].values):
+            grid[int(j) * CMS_W + int(b)] += 1
+            if j == 0:
+                n_toks += 1
+    state.update((",".join(map(str, grid)), n_toks))
+    yield pd.DataFrame({"source": [key[0]], "n_toks": [n_toks],
+                        "grid": [",".join(map(str, grid))]})
+
+
+def cms_stream(docs_stream: DataFrame) -> DataFrame:
+    """Running per-source count-min sketch, constant state. Token
+    bucketing is the SAME JVM expression family as the batch
+    sk_cms_heavy (md5('j:'||tok) % CMS_W per row j), so a streamed
+    grid and a batch grid built over the same rows are cell-equal by
+    construction; the Python state fn never hashes."""
+    from ..operators.curation import CMS_D, CMS_W
+
+    def bucket(j):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 15),
+            16, 10).cast("long") % CMS_W)
+
+    from ..operators.textops import ws_tokens
+
+    jb = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+        for j in range(CMS_D)])).alias("jb")
+    keyed = (docs_stream
+             .select("source", F.explode(ws_tokens()).alias("tok"))
+             .select("source", jb)
+             .select("source", "jb.j", "jb.b"))
+    return keyed.groupBy("source").applyInPandasWithState(
+        _cms_update,
+        outputStructType=CMS_OUT,
+        stateStructType=CMS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -164,3 +164,101 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
         assert est == pytest.approx(batch[s_name]), s_name
     # the corpus streamed in 2 batches: at least one source saw both
     assert len(rows) > len(final)
+
+
+def test_streaming_cms_matches_batch_and_survives_restart(
+        spark, tmp_path):
+    """Constant-state streaming CMS: per-source grids streamed across
+    two microbatches WITH a full query restart between them sum
+    (cell-wise merge) to a global sketch whose min-probe estimates
+    are row-equal to the batch sk_cms_heavy output on the same
+    corpus — the second stream≡batch sketch pair beside hll_stream.
+    State stays CMS_D*CMS_W integers per source regardless of volume;
+    the restart leg proves the grid lives in the state store."""
+    import hashlib
+
+    from pdf_extraction_api_spark.operators.curation import (
+        CMS_D,
+        CMS_W,
+        sk_cms_heavy,
+    )
+    from pdf_extraction_api_spark.streaming.stateful import cms_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mid = docs.agg({"doc_id": "avg"}).collect()[0][0]
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs.filter(docs.doc_id <= mid).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+
+    out_dir = str(tmp_path / "cms_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+        # memory sinks don't support checkpoint RECOVERY — the
+        # restart leg needs a foreachBatch parquet sink (the
+        # sessionize-restart convention)
+        def sink(df, _bid):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            cms_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(out_dir).collect()
+        final = {}
+        for r in rows:
+            if r.source not in final or r.n_toks > final[r.source][0]:
+                final[r.source] = (r.n_toks,
+                                   [int(x) for x in r.grid.split(",")])
+        return final
+
+    first = run()                      # batch A only
+    # RESTART: second half lands, a fresh query resumes from the
+    # checkpointed state store
+    docs.filter(docs.doc_id > mid).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+    final = run()
+
+    # every per-source grid monotonically grew across the restart
+    for s_name, (n1, g1) in first.items():
+        n2, g2 = final[s_name]
+        assert n2 >= n1
+        assert all(c2 >= c1 for c1, c2 in zip(g1, g2)), s_name
+
+    # cell-wise merge of per-source grids == the global sketch
+    merged = [0] * (CMS_D * CMS_W)
+    for _, grid in final.values():
+        merged = [a + b for a, b in zip(merged, grid)]
+
+    def probe(tok):
+        est = None
+        for j in range(CMS_D):
+            b = int(hashlib.md5(
+                f"{j}:{tok}".encode()).hexdigest()[:15], 16) % CMS_W
+            c = merged[j * CMS_W + b]
+            est = c if est is None else min(est, c)
+        return est
+
+    batch = sk_cms_heavy(spark, sf).collect()
+    assert len(batch) > 0
+    for r in batch:
+        assert probe(r.tok) == r.n_est, r.tok
+    # the streamed token mass equals the corpus token mass: every
+    # grid row j sums to the total token count
+    total = sum(n for n, _ in final.values())
+    for j in range(CMS_D):
+        assert sum(merged[j * CMS_W:(j + 1) * CMS_W]) == total
