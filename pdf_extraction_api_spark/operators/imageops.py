@@ -649,6 +649,111 @@ FROM documents
 """
 
 
+_METRICS_INT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("img_kind", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("res_bucket", StringType()),
+    StructField("n_vals", LongType()),
+    StructField("pix_sum", LongType()),
+    StructField("pix_min", IntegerType()),
+    StructField("pix_max", IntegerType()),
+    StructField("brightness_mean", DoubleType()),
+])
+
+
+def mm_image_metrics_int(spark, sf):
+    """Integer-exact image metrics — the fully-ORACLED sibling of the
+    rows-only [mm_image_metrics] (round-6 verdict #5): decode the
+    PNG once and report only statistics that are exact integer
+    arithmetic on the decoded pixels — dims, a resolution bucket,
+    channel-value count, exact pixel SUM (the brightness numerator as
+    BIGINT), min/max channel values, and the unrounded mean (exact
+    int / exact int, bit-identical across engines — the
+    mm_image_resize convention; a 6-dp round would hit banker's-vs-
+    away ties on dyadic denominators). The DuckDB oracle rebuilds
+    every pixel from the analytic corpus model (_GRAY_SQL incl. the
+    LCG noise) and the RGB channels by the same uint8 truncation —
+    so a hash match certifies the whole generate → encode → decode
+    pipeline VALUE-exactly, not just shape-exactly; only the float
+    convolution columns of mm_image_metrics stay unoracled.
+
+    Scale shape: identical to mm_image_dims — Arrow-batched decode
+    fan-out, zero shuffles (the output is per-image)."""
+    imgs = image_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel import png as pngc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["img_kind"].values,
+                    pdf["png"].values):
+                arr = pngc.decode(bytes(blob))
+                h, w = arr.shape[0], arr.shape[1]
+                npix = h * w
+                bucket = ("small" if npix < 4096
+                          else "medium" if npix < 8192 else "large")
+                s = int(arr.sum(dtype=np.int64))
+                n_vals = int(arr.size)
+                rows.append({
+                    "doc_id": int(doc_id), "img_kind": kind,
+                    "width": w, "height": h,
+                    "res_bucket": bucket,
+                    "n_vals": n_vals,
+                    "pix_sum": s,
+                    "pix_min": int(arr.min()),
+                    "pix_max": int(arr.max()),
+                    "brightness_mean": s / n_vals,
+                })
+            yield pd.DataFrame(rows)
+
+    return imgs.mapInPandas(run, schema=_METRICS_INT_SCHEMA)
+
+
+# channel-value sum of one pixel: RGB channels derive from gray by
+# the same uint8 truncation as _gen_image's np.stack; max channel is
+# always g (factors <= 1), min is trunc(0.7*g) for RGB
+MM_METRICS_INT_SQL = f"""
+WITH docs AS ({_DOCS_CTE_SQL}),
+pixbase AS (
+  SELECT d.doc_id, d.img_kind, d.h, d.w, d.nch, yy.y, xx.x
+  FROM docs d,
+       LATERAL (SELECT unnest(range(d.h)) AS y) yy,
+       LATERAL (SELECT unnest(range(d.w)) AS x) xx),
+pix AS (
+  SELECT doc_id, nch, {_GRAY_SQL} AS g FROM pixbase),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN nch = 3
+              THEN g + CAST(trunc(g * 0.9::DOUBLE) AS BIGINT)
+                     + CAST(trunc(g * 0.7::DOUBLE) AS BIGINT)
+              ELSE g END) AS BIGINT) AS pix_sum,
+         CAST(min(CASE WHEN nch = 3
+              THEN CAST(trunc(g * 0.7::DOUBLE) AS BIGINT)
+              ELSE g END) AS INT) AS pix_min,
+         CAST(max(g) AS INT) AS pix_max
+  FROM pix GROUP BY doc_id)
+SELECT d.doc_id, d.img_kind,
+       CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       CASE WHEN d.h * d.w < 4096 THEN 'small'
+            WHEN d.h * d.w < 8192 THEN 'medium'
+            ELSE 'large' END AS res_bucket,
+       CAST(d.h * d.w * d.nch AS BIGINT) AS n_vals,
+       a.pix_sum,
+       a.pix_min,
+       a.pix_max,
+       CAST(a.pix_sum AS DOUBLE) / (d.h * d.w * d.nch)
+         AS brightness_mean
+FROM docs d JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 _AHASH_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("img_kind", StringType()),
@@ -762,6 +867,7 @@ FROM sigs GROUP BY ahash, img_kind
 
 QUERIES = {
     "mm_image_metrics": (mm_image_metrics, None),
+    "mm_image_metrics_int": (mm_image_metrics_int, MM_METRICS_INT_SQL),
     "mm_image_resize": (mm_image_resize, MM_RESIZE_SQL),
     "mm_image_dims": (mm_image_dims, MM_DIMS_SQL),
     "dd_image_ahash": (dd_image_ahash, DD_IMAGE_AHASH_SQL),
