@@ -1507,6 +1507,107 @@ ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
 """
 
 
+def ev_item_pagerank_weighted(spark, sf):
+    """WEIGHTED PageRank over the item co-click graph — the natural
+    strengthening of [ev_item_pagerank] (round-6 verdict #7): the
+    edge (a, b) carries weight w = number of capped users who
+    co-clicked both items, each neighbor contribution is
+    (pr_nano * w) div strength(src) where strength = sum of outgoing
+    edge weights — so an item tied to its neighbors by MANY users
+    outranks one tied by a single bot-adjacent user, which uniform
+    PageRank cannot distinguish. Same exact fixed-point contract:
+    every step is BIGINT (products stay < 2^63: pr_nano <= 1e9,
+    w <= n_users), so DuckDB replays the identical trajectory.
+
+    Scale shape: identical to the unweighted op — the capped pair
+    join bounds a bot user at PR_CAP^2 pairs; the weight is FREE (the
+    same groupBy that deduped pairs now counts them); each iteration
+    is one join + one map-side-combinable sum; fixed iteration count
+    keeps the plan a static chain."""
+    e = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ui = (e.filter(F.col("event_type") == "click")
+          .select("user_id", k.alias("item")).distinct())
+    w_cap = Window.partitionBy("user_id").orderBy("item")
+    ui = (ui.withColumn("rk", F.row_number().over(w_cap))
+          .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    edges = (ui.alias("a").join(ui.alias("b"), "user_id")
+             .filter(F.col("a.item") != F.col("b.item"))
+             .groupBy(F.col("a.item").alias("src"),
+                      F.col("b.item").alias("dst"))
+             .agg(F.count("*").alias("w")))
+    strength = edges.groupBy("src").agg(F.sum("w").alias("sw"))
+    n_nodes = strength.agg(F.count("*").alias("n"))
+    pr = (strength.join(F.broadcast(n_nodes))
+          .select(F.col("src").alias("item"), "sw",
+                  F.expr(f"CAST({PR_NANO} AS BIGINT) div n")
+                  .alias("pr_nano"), "n"))
+    for _ in range(PR_ITERS):
+        contrib = (pr.join(edges, pr.item == edges.src)
+                   .select(F.col("dst").alias("item"),
+                           F.expr("(pr_nano * w) div sw").alias("c")))
+        sums = contrib.groupBy("item").agg(F.sum("c").alias("s"))
+        pr = (pr.drop("pr_nano").join(sums, "item", "left")
+              .select("item", "sw", "n",
+                      (F.expr(f"CAST({15 * PR_NANO // 100} AS BIGINT)"
+                              " div n")
+                       + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT)))"
+                                " div 100")).alias("pr_nano")))
+    return (pr.select("item", "sw", "pr_nano",
+                      F.round(F.col("pr_nano").cast("double")
+                              / F.lit(float(PR_NANO)), 9).alias("pr"))
+            .orderBy(F.desc("pr_nano"), F.asc("item"))
+            .limit(PR_TOPK))
+
+
+def _pagerank_weighted_sql() -> str:
+    teleport = f"(CAST({15 * PR_NANO // 100} AS BIGINT) // n)"
+    its = ""
+    prev = "it0"
+    for i in range(1, PR_ITERS + 1):
+        its += f""",
+sums{i} AS (
+  SELECT e.dst AS item,
+         CAST(sum((p.pr_nano * e.w) // p.sw) AS BIGINT) AS s
+  FROM {prev} p JOIN edges e ON e.src = p.item
+  GROUP BY e.dst),
+it{i} AS (
+  SELECT p.item, p.sw, p.n,
+         {teleport} + (85 * coalesce(s.s, CAST(0 AS BIGINT))) // 100
+           AS pr_nano
+  FROM (SELECT item, sw, n FROM {prev}) p
+  LEFT JOIN sums{i} s ON s.item = p.item)"""
+        prev = f"it{i}"
+    return f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'),
+ui AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item)
+             AS rk
+    FROM ui0) WHERE rk <= {PR_CAP}),
+edges AS (
+  SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM ui a JOIN ui b
+    ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY a.item, b.item),
+strength AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM strength),
+it0 AS (
+  SELECT s.src AS item, s.sw, nn.n,
+         CAST({PR_NANO} AS BIGINT) // nn.n AS pr_nano
+  FROM strength s, nn){its}
+SELECT item, sw, pr_nano,
+       round(CAST(pr_nano AS DOUBLE) / {PR_NANO}.0::DOUBLE, 9) AS pr
+FROM {prev}
+ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
+"""
+
+
 def ev_markov_transitions(spark, sf):
     """First-order Markov transition matrix over per-user event-type
     sequences — the sequence-modeling primitive behind next-action
@@ -1648,6 +1749,8 @@ QUERIES: dict[str, tuple] = {
     "ev_pmi_pairs": (ev_pmi_pairs, EV_PMI_SQL),
     "ev_markov_transitions": (ev_markov_transitions, EV_MARKOV_SQL),
     "ev_item_pagerank": (ev_item_pagerank, _pagerank_sql()),
+    "ev_item_pagerank_weighted": (
+        ev_item_pagerank_weighted, _pagerank_weighted_sql()),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "ev_hopping": (ev_hopping, EV_HOPPING_SQL),

@@ -812,6 +812,66 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert all(got[0][2] > g[2] for g in got[1:])
 
 
+def test_pagerank_weighted_ground_truth(spark, tmp_path):
+    """Weighted PageRank on a planted weight-contrast graph: item 0
+    links to item 1 via FIVE co-clicking users but to item 2 via one,
+    so the weighted walk hands item 1 five times item 2's share of
+    item 0's rank — while uniform PageRank (degree split) provably
+    ties them. Every value equals an exact Python replay of the
+    nano-unit integer arithmetic ((pr*w) div strength contributions,
+    (85*s) div 100 damping)."""
+    import datetime as dt
+    import json
+
+    from pdf_extraction_api_spark.operators.relational import (
+        PR_ITERS,
+        PR_NANO,
+        ev_item_pagerank,
+        ev_item_pagerank_weighted,
+    )
+
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 1)
+    for u in range(5):                   # users 0-4 click {0, 1}
+        for item in (0, 1):
+            rows.append((eid, ts, u, "click", 1.0,
+                         json.dumps({"k": item})))
+            eid += 1
+    for item in (0, 2):                  # user 5 clicks {0, 2}
+        rows.append((eid, ts, 5, "click", 1.0,
+                     json.dumps({"k": item})))
+        eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = [(r.item, r.sw, r.pr_nano)
+           for r in ev_item_pagerank_weighted(
+               spark, str(tmp_path)).collect()]
+
+    w = {(0, 1): 5, (1, 0): 5, (0, 2): 1, (2, 0): 1}
+    sw = {}
+    for (s, _), wt in w.items():
+        sw[s] = sw.get(s, 0) + wt
+    n = len(sw)
+    pr = {i: PR_NANO // n for i in sw}
+    for _ in range(PR_ITERS):
+        sums = {i: 0 for i in sw}
+        for (s, d), wt in w.items():
+            sums[d] += (pr[s] * wt) // sw[s]
+        pr = {i: (15 * PR_NANO // 100) // n + (85 * sums[i]) // 100
+              for i in sw}
+    want = sorted(((i, sw[i], pr[i]) for i in sw),
+                  key=lambda r: (-r[2], r[0]))
+    assert got == want
+    prw = {i: p for i, _, p in got}
+    assert prw[1] > prw[2]               # weights discriminate...
+    pru = {r.item: r.pr_nano
+           for r in ev_item_pagerank(spark, str(tmp_path)).collect()}
+    assert pru[1] == pru[2]              # ...where uniform PR ties
+
+
 def test_pmi_pairs_ground_truth(spark, tmp_path):
     """PMI on a planted co-click design: items (1,2) always co-clicked
     (PMI = ln(N / n) > 0 strongest pair), items (1,3) co-clicked at
