@@ -829,6 +829,131 @@ FROM both_g
 """
 
 
+def sk_kmv_intersect(spark, sf):
+    """KMV / theta-sketch SET INTERSECTION between source pairs — the
+    sketch family's set-operation story (round-6 verdict #7): each
+    source keeps its bottom-KMV_K hash survivors ([sk_kmv_distinct]'s
+    sketch); for a pair, theta = min of the two k-th minimum
+    normalized hashes (1.0 when a source holds < k values — its
+    sketch is the complete set), the intersection SAMPLE is the
+    survivors present in BOTH sketches with hash fraction < theta,
+    and the estimate is |sample| / theta (the Dataset-sketches theta
+    intersection rule). Deterministic md5 hashes, so both engines
+    build bit-identical sketches; the exact intersection count rides
+    along as the truth baseline (production runs only the sketches —
+    two k-row tables — never the full-width join).
+
+    Scale shape: the sketches are <= KMV_K rows per source built by
+    the two-phase salted bottom-k (no per-group global sort);
+    EVERYTHING pairwise operates on those tiny survivor sets
+    (broadcastable by construction). The full-width hash join exists
+    only for the truth column."""
+    d = T(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    hashes = d.select("source", h.alias("h")).distinct()
+    shard = (F.col("h") % KMV_SHARDS)
+    w_local = Window.partitionBy("source", "shard").orderBy(F.asc("h"))
+    surv = (
+        hashes.withColumn("shard", shard)
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= KMV_K)
+    )
+    w_global = Window.partitionBy("source").orderBy(F.asc("h"))
+    ranked = (surv.withColumn("rk", F.row_number().over(w_global))
+              .filter(F.col("rk") <= KMV_K)
+              .select("source", "h", "rk"))
+    frac = F.col("h").cast("double") / F.lit(float(_H60))
+    kth = ranked.filter(F.col("rk") == KMV_K).select(
+        "source", frac.alias("frac_k"))
+    srcs = hashes.select("source").distinct()
+    theta = (srcs.join(kth, "source", "left")
+             .select("source",
+                     F.coalesce("frac_k", F.lit(1.0)).alias("th")))
+    pairs = (theta.alias("a").join(
+        theta.alias("b"),
+        F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("src_a"),
+                F.col("b.source").alias("src_b"),
+                F.least("a.th", "b.th").alias("thp")))
+    isurv = (ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.source") < F.col("b.source")))
+        .select(F.col("a.source").alias("src_a"),
+                F.col("b.source").alias("src_b"),
+                F.col("a.h").alias("h")))
+    cnt = (isurv.join(F.broadcast(pairs), ["src_a", "src_b"])
+           .filter(F.col("h").cast("double") / F.lit(float(_H60))
+                   < F.col("thp"))
+           .groupBy("src_a", "src_b")
+           .agg(F.count("*").alias("n_surv")))
+    exact = (hashes.alias("a").join(
+        hashes.alias("b"),
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_exact")))
+    return (pairs.join(cnt, ["src_a", "src_b"], "left")
+            .join(exact, ["src_a", "src_b"], "left")
+            .select(
+                "src_a", "src_b",
+                F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+                F.coalesce("n_surv", F.lit(0)).alias("n_surv"),
+                F.round(F.coalesce("n_surv", F.lit(0)).cast("double")
+                        / F.col("thp"), 4).alias("n_est")))
+
+
+SK_KMV_INTERSECT_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+  FROM hashes),
+surv AS (SELECT source, h, rk FROM ranked WHERE rk <= {KMV_K}),
+kth AS (
+  SELECT source, CAST(h AS DOUBLE) / CAST({_H60} AS DOUBLE) AS frac_k
+  FROM ranked WHERE rk = {KMV_K}),
+srcs AS (SELECT DISTINCT source FROM hashes),
+theta AS (
+  SELECT s.source, coalesce(k.frac_k, 1.0::DOUBLE) AS th
+  FROM srcs s LEFT JOIN kth k ON k.source = s.source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         least(ta.th, tb.th) AS thp
+  FROM srcs a JOIN srcs b ON a.source < b.source
+  JOIN theta ta ON ta.source = a.source
+  JOIN theta tb ON tb.source = b.source),
+isurv AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.h
+  FROM surv a JOIN surv b
+    ON b.h = a.h AND a.source < b.source),
+cnt AS (
+  SELECT i.src_a, i.src_b, CAST(count(*) AS BIGINT) AS n_surv
+  FROM isurv i JOIN pairs p
+    ON p.src_a = i.src_a AND p.src_b = i.src_b
+  WHERE CAST(i.h AS DOUBLE) / CAST({_H60} AS DOUBLE) < p.thp
+  GROUP BY i.src_a, i.src_b),
+ex AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_exact
+  FROM hashes a JOIN hashes b
+    ON b.h = a.h AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.src_a, p.src_b,
+       CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(c.n_surv, 0) AS BIGINT) AS n_surv,
+       round(CAST(coalesce(c.n_surv, 0) AS DOUBLE) / p.thp, 4)
+         AS n_est
+FROM pairs p
+LEFT JOIN cnt c ON c.src_a = p.src_a AND c.src_b = p.src_b
+LEFT JOIN ex e ON e.src_a = p.src_a AND e.src_b = p.src_b
+"""
+
+
 HLL_P = 4                 # HLL precision: m = 2^P = 16 registers
 HLL_M = 1 << HLL_P
 HLL_ALPHA = 0.673         # standard bias constant for m = 16
@@ -1497,6 +1622,7 @@ FROM per_doc
 
 QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
+    "sk_kmv_intersect": (sk_kmv_intersect, SK_KMV_INTERSECT_SQL),
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
     "tx_zipf_fit": (tx_zipf_fit, TX_ZIPF_SQL),
     "dd_substr_dup": (dd_substr_dup, DD_SUBSTR_SQL),

@@ -812,6 +812,72 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert all(got[0][2] > g[2] for g in got[1:])
 
 
+def test_kmv_intersect_known_overlap(spark, tmp_path):
+    """Theta-sketch intersection on planted overlaps: sources A and B
+    share exactly 7 texts and both hold < KMV_K values, so theta = 1
+    and the estimate IS the exact count; large sources C and D (120
+    values each, 40 shared) exercise the real estimation path — the
+    emitted survivor count and estimate equal an exact Python replay
+    of the same bottom-k/theta arithmetic, and the estimate lands
+    within 50% of truth."""
+    import hashlib
+
+    from pdf_extraction_api_spark.operators.curation import (
+        _H60,
+        KMV_K,
+        sk_kmv_intersect,
+    )
+
+    def mk(src, texts):
+        return [(src, t) for t in texts]
+
+    a_texts = [f"sharedAB {i}" for i in range(7)] + [
+        f"onlyA {i}" for i in range(5)]
+    b_texts = [f"sharedAB {i}" for i in range(7)] + [
+        f"onlyB {i}" for i in range(4)]
+    c_texts = [f"sharedCD {i}" for i in range(40)] + [
+        f"onlyC {i}" for i in range(80)]
+    d_texts = [f"sharedCD {i}" for i in range(40)] + [
+        f"onlyD {i}" for i in range(80)]
+    rows = (mk("A", a_texts) + mk("B", b_texts)
+            + mk("C", c_texts) + mk("D", d_texts))
+    spark.createDataFrame(
+        [(i, t, s, "en", len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id LONG, text STRING, source STRING, lang STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.src_a, r.src_b): (r.n_exact, r.n_surv, r.n_est)
+           for r in sk_kmv_intersect(spark, str(tmp_path)).collect()}
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    def sketch(texts):
+        hs = sorted({h(t) for t in texts})
+        surv = hs[:KMV_K]
+        theta = surv[-1] / _H60 if len(hs) >= KMV_K else 1.0
+        return set(surv), theta
+
+    def replay(x_texts, y_texts):
+        sx, tx = sketch(x_texts)
+        sy, ty = sketch(y_texts)
+        thp = min(tx, ty)
+        n_surv = sum(1 for v in sx & sy if v / _H60 < thp)
+        return n_surv, round(n_surv / thp, 4)
+
+    assert got[("A", "B")][0] == 7
+    assert got[("A", "B")][1:] == replay(a_texts, b_texts)
+    assert got[("A", "B")][2] == 7.0      # complete sketches: exact
+    assert got[("C", "D")][0] == 40
+    assert got[("C", "D")][1:] == replay(c_texts, d_texts)
+    # estimator variance at k=16: theta ~ k/120, ~5 expected
+    # intersection survivors, sd(est) ~ sqrt(5)/theta ~ 17 — accept
+    # ±3 sd (the replay equality above is the exactness contract;
+    # this line only guards against a wildly-off estimator)
+    assert abs(got[("C", "D")][2] - 40) <= 51
+    assert got[("A", "C")][0] == 0 and got[("A", "C")][1] == 0
+
+
 def test_pagerank_weighted_ground_truth(spark, tmp_path):
     """Weighted PageRank on a planted weight-contrast graph: item 0
     links to item 1 via FIVE co-clicking users but to item 2 via one,
