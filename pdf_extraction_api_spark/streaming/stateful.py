@@ -302,3 +302,71 @@ def cms_stream(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUT = StructType([
+    StructField("source", StringType()),
+    StructField("n_seen", LongType()),
+    StructField("n_est", StringType()),   # %.4f — hash-stable
+])
+KMV_STATE = StructType([
+    StructField("surv", StringType()),  # ','-joined sorted bottom-k
+    StructField("n_seen", LongType()),
+])
+
+
+def _kmv_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Constant-state streaming KMV: the per-source state is the
+    bottom-KMV_K distinct hash set (at most k integers) no matter how
+    many docs stream past — the incremental twin of the batch
+    [sk_kmv_distinct] sketch, completing the set: every batch sketch
+    family (KMV, HLL, CMS) has a constant-state streaming twin.
+    Insertion is set-semantics (duplicates never change the sketch),
+    so the streamed survivor set equals the batch bottom-k of the
+    union of all arrivals — the mergeability KMV is built on."""
+    import pandas as pd
+
+    from ..operators.curation import _H60, KMV_K
+
+    surv: list[int] = []
+    n_seen = 0
+    if state.exists:
+        blob, n_seen = state.get
+        surv = [int(x) for x in blob.split(",")] if blob else []
+    ss = set(surv)
+    for pdf in pdfs:
+        for h in pdf["h"].values:
+            h = int(h)
+            n_seen += 1
+            if h not in ss:
+                ss.add(h)
+                if len(ss) > KMV_K:
+                    ss.remove(max(ss))
+    surv = sorted(ss)
+    state.update((",".join(map(str, surv)), n_seen))
+    if len(surv) >= KMV_K:
+        est = (KMV_K - 1) / (surv[-1] / _H60)
+    else:
+        est = float(len(surv))
+    yield pd.DataFrame({"source": [key[0]], "n_seen": [n_seen],
+                        "n_est": [f"{round(est, 4):.4f}"]})
+
+
+def kmv_stream(docs_stream: DataFrame) -> DataFrame:
+    """Running per-source KMV distinct estimate, constant state. The
+    60-bit md5 hash is the same JVM expression as the batch op."""
+    keyed = docs_stream.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long").alias("h"))
+    return keyed.groupBy("source").applyInPandasWithState(
+        _kmv_update,
+        outputStructType=KMV_OUT,
+        stateStructType=KMV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -262,3 +262,55 @@ def test_streaming_cms_matches_batch_and_survives_restart(
     total = sum(n for n, _ in final.values())
     for j in range(CMS_D):
         assert sum(merged[j * CMS_W:(j + 1) * CMS_W]) == total
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """Constant-state streaming KMV: after the last microbatch the
+    per-source running estimate is row-equal to the batch
+    sk_kmv_distinct sketch on the same corpus (bottom-k of the union
+    == union of bottom-ks), completing the stream≡batch pin for all
+    three sketch families (KMV here, HLL, CMS)."""
+    from pdf_extraction_api_spark.operators.curation import (
+        sk_kmv_distinct,
+    )
+    from pdf_extraction_api_spark.streaming.stateful import kmv_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mid = docs.agg({"doc_id": "avg"}).collect()[0][0]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs.filter(docs.doc_id <= mid).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    docs.filter(docs.doc_id > mid).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        kmv_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_running")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT source, n_seen, n_est FROM kmv_running").collect()
+    final = {}
+    for r in rows:
+        if r.source not in final or r.n_seen > final[r.source][0]:
+            final[r.source] = (r.n_seen, float(r.n_est))
+    batch = {r.source: r.n_est
+             for r in sk_kmv_distinct(spark, sf).collect()
+             if r.source != "__all__"}
+    assert set(final) == set(batch)
+    for s_name, (_, est) in final.items():
+        assert est == pytest.approx(batch[s_name]), s_name
+    assert len(rows) > len(final)   # at least one source saw 2 batches
