@@ -1490,6 +1490,88 @@ GROUP BY c.doc_id
 """
 
 
+COLL_MIN = 5     # min bigram occurrences for a collocation candidate
+COLL_TOPK = 30
+
+
+def tx_collocations(spark, sf):
+    """Bigram collocation detection — the phrase-extraction primitive
+    (word2vec phrase merging, Manning & Schütze ch.5) a training
+    pipeline runs before tokenizer/vocab work: adjacent token pairs
+    scored by PMI = ln(n_ab * N / (n_a * n_b)) AND by the classic
+    t-test statistic (n_ab - n_a*n_b/N) / sqrt(n_ab) — two
+    association measures over the same exact BIGINT evidence, which
+    rides along so the hash pins the integers, not just the floats.
+    The text-side sibling of [ev_pmi_pairs] (same scoring contract,
+    adjacency instead of co-click).
+
+    Scale shape: bigrams are a zero-shuffle HOF transform over the
+    token array (no positional explode of tokens — pairs form
+    map-side); the bigram count is one map-side-combinable hash agg;
+    unigram marginals broadcast onto the n_ab >= COLL_MIN survivors
+    only; final top-k is TakeOrderedAndProject."""
+    d = T(spark, sf, "documents")
+    toked = (d.select(ws_tokens().alias("toks"))
+             .filter(F.size("toks") >= 2))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.struct(
+            F.element_at("toks", i + 1).alias("w1"),
+            F.element_at("toks", i + 2).alias("w2")))
+    bg = (toked.select(F.explode(bigrams).alias("b"))
+          .select("b.w1", "b.w2")
+          .groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+          .filter(F.col("n_ab") >= COLL_MIN))
+    uni = (d.select(F.explode(ws_tokens()).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n")))
+    n_tok = uni.agg(F.sum("n").alias("n_tok"))
+    na = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    nb = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    pmi = F.log(F.col("n_ab").cast("double") * F.col("n_tok")
+                / (F.col("n_a") * F.col("n_b")).cast("double"))
+    t = ((F.col("n_ab").cast("double")
+          - (F.col("n_a") * F.col("n_b")).cast("double")
+          / F.col("n_tok").cast("double"))
+         / F.sqrt(F.col("n_ab").cast("double")))
+    return (bg.join(F.broadcast(na), "w1")
+            .join(F.broadcast(nb), "w2")
+            .join(F.broadcast(n_tok))
+            .select("w1", "w2", "n_ab", "n_a", "n_b",
+                    F.round(pmi, 6).alias("pmi"),
+                    F.round(t, 6).alias("t_score"))
+            .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+            .limit(COLL_TOPK))
+
+
+TX_COLLOCATIONS_SQL = f"""
+WITH toked AS (
+  SELECT {WS_TOKS_SQL} AS toks FROM documents
+  WHERE len({WS_TOKS_SQL}) >= 2),
+bg AS (
+  SELECT toks[i.i + 1] AS w1, toks[i.i + 2] AS w2,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM toked,
+       LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) i
+  GROUP BY 1, 2 HAVING count(*) >= {COLL_MIN}),
+uni AS (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({WS_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY tok),
+nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_tok FROM uni)
+SELECT b.w1, b.w2, b.n_ab, a.n AS n_a, c.n AS n_b,
+       round(ln(CAST(b.n_ab AS DOUBLE) * nt.n_tok
+                / CAST(a.n * c.n AS DOUBLE)), 6) AS pmi,
+       round((CAST(b.n_ab AS DOUBLE)
+              - CAST(a.n * c.n AS DOUBLE)
+                / CAST(nt.n_tok AS DOUBLE))
+             / sqrt(CAST(b.n_ab AS DOUBLE)), 6) AS t_score
+FROM bg b
+JOIN uni a ON a.w = b.w1
+JOIN uni c ON c.w = b.w2, nt
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {COLL_TOPK}
+"""
+
+
 ZIPF_TOPN = 100   # vocabulary head used for the rank-frequency fit
 _ZU = 1_000_000   # micro-unit fixed point for the ln terms
 
@@ -1627,6 +1709,7 @@ QUERIES = {
     "tx_zipf_fit": (tx_zipf_fit, TX_ZIPF_SQL),
     "dd_substr_dup": (dd_substr_dup, DD_SUBSTR_SQL),
     "tx_substr_scrub": (tx_substr_scrub, TX_SUBSTR_SCRUB_SQL),
+    "tx_collocations": (tx_collocations, TX_COLLOCATIONS_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),

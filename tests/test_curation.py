@@ -812,6 +812,52 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert all(got[0][2] > g[2] for g in got[1:])
 
 
+def test_collocations_planted_phrase(spark, tmp_path):
+    """Collocation scoring on a planted corpus: 'new york' always
+    appears as a glued bigram (each word exists ONLY inside it →
+    maximal PMI), filler words pair at ~independence (PMI near 0),
+    and every emitted row equals an exact Python recompute of both
+    the PMI and the t statistic from the same integer counts."""
+    import math
+    from collections import Counter
+
+    from pdf_extraction_api_spark.operators.curation import (
+        COLL_MIN,
+        tx_collocations,
+    )
+
+    docs = []
+    for i in range(10):
+        # 'new york' x1 per doc; fillers a/b/c shuffled deterministically
+        fill = ["a", "b", "c"] * 4
+        rot = fill[i % 3:] + fill[:i % 3]
+        docs.append(" ".join(["new", "york"] + rot))
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.w1, r.w2): (r.n_ab, r.n_a, r.n_b, r.pmi, r.t_score)
+           for r in tx_collocations(spark, str(tmp_path)).collect()}
+
+    uni, bi = Counter(), Counter()
+    for t in docs:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    for (w1, w2), (n_ab, n_a, n_b, pmi, t_sc) in got.items():
+        assert bi[(w1, w2)] == n_ab >= COLL_MIN
+        assert uni[w1] == n_a and uni[w2] == n_b
+        assert pmi == round(math.log(n_ab * n_tok / (n_a * n_b)), 6)
+        assert t_sc == round(
+            (n_ab - n_a * n_b / n_tok) / math.sqrt(n_ab), 6)
+    assert ("new", "york") in got
+    top = max(got.items(), key=lambda kv: kv[1][3])
+    assert top[0] == ("new", "york")       # the glued phrase leads
+    assert got[("new", "york")][3] == round(math.log(140 / 10), 6)
+
+
 def test_kmv_intersect_known_overlap(spark, tmp_path):
     """Theta-sketch intersection on planted overlaps: sources A and B
     share exactly 7 texts and both hold < KMV_K values, so theta = 1
