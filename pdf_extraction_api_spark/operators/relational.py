@@ -1608,6 +1608,109 @@ ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
 """
 
 
+HITS_ITERS = 3
+HITS_UNIT = 1_000_000   # fixed-point micro unit (headroom: sums of
+                        # n_users*UNIT must stay < 2^63 — fine to
+                        # ~10^12 users, far past any real corpus)
+HITS_TOPK = 20
+
+
+def ev_hits(spark, sf):
+    """HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    user→item click graph — the OTHER classic link-analysis fixed
+    point beside [ev_item_pagerank]: authority(item) = sum of hub
+    scores of users clicking it, hub(user) = sum of authorities of
+    their items, re-normalized each iteration. Exact fixed point:
+    scores live in integer MICRO units and each normalization is
+    (score * UNIT) div max(score) — the L∞ norm, a max (order-free)
+    rather than an L2 float sum — so every step is BIGINT and DuckDB
+    replays the identical trajectory. Emits the HITS_TOPK items by
+    authority with the exact fixed-point value as evidence.
+
+    Scale shape: the same PR_CAP per-user cap bounds edges; each
+    half-iteration is one join + one map-side-combinable sum; the
+    norm is a 1-row broadcast; fixed iteration count keeps the plan
+    a static chain, no driver-side convergence probes."""
+    e = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ui = (e.filter(F.col("event_type") == "click")
+          .select("user_id", k.alias("item")).distinct())
+    w_cap = Window.partitionBy("user_id").orderBy("item")
+    edges = (ui.withColumn("rk", F.row_number().over(w_cap))
+             .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    hub = (edges.select("user_id").distinct()
+           .select("user_id",
+                   F.lit(HITS_UNIT).cast("long").alias("h")))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (edges.join(hub, "user_id")
+                 .groupBy("item").agg(F.sum("h").alias("ar")))
+        a_max = a_raw.agg(F.max("ar").alias("am"))
+        auth = (a_raw.join(F.broadcast(a_max))
+                .select("item",
+                        F.expr(f"(ar * CAST({HITS_UNIT} AS BIGINT))"
+                               " div am").alias("a")))
+        h_raw = (edges.join(auth, "item")
+                 .groupBy("user_id").agg(F.sum("a").alias("hr")))
+        h_max = h_raw.agg(F.max("hr").alias("hm"))
+        hub = (h_raw.join(F.broadcast(h_max))
+               .select("user_id",
+                       F.expr(f"(hr * CAST({HITS_UNIT} AS BIGINT))"
+                              " div hm").alias("h")))
+    return (auth.select(
+        "item", F.col("a").alias("auth_fix"),
+        F.round(F.col("a").cast("double") / F.lit(float(HITS_UNIT)),
+                9).alias("authority"))
+        .orderBy(F.desc("auth_fix"), F.asc("item"))
+        .limit(HITS_TOPK))
+
+
+def _hits_sql() -> str:
+    body = ""
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        body += f""",
+araw{i} AS (
+  SELECT e.item, CAST(sum(p.h) AS BIGINT) AS ar
+  FROM edges e JOIN {prev_h} p ON p.user_id = e.user_id
+  GROUP BY e.item),
+a{i} AS (
+  SELECT item,
+         (ar * CAST({HITS_UNIT} AS BIGINT))
+           // (SELECT max(ar) FROM araw{i}) AS a
+  FROM araw{i}),
+hraw{i} AS (
+  SELECT e.user_id, CAST(sum(a.a) AS BIGINT) AS hr
+  FROM edges e JOIN a{i} a ON a.item = e.item
+  GROUP BY e.user_id),
+h{i} AS (
+  SELECT user_id,
+         (hr * CAST({HITS_UNIT} AS BIGINT))
+           // (SELECT max(hr) FROM hraw{i}) AS h
+  FROM hraw{i})"""
+        prev_h = f"h{i}"
+    return f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'),
+edges AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item)
+             AS rk
+    FROM ui0) WHERE rk <= {PR_CAP}),
+h0 AS (
+  SELECT DISTINCT user_id, CAST({HITS_UNIT} AS BIGINT) AS h
+  FROM edges){body}
+SELECT item, a AS auth_fix,
+       round(CAST(a AS DOUBLE) / {HITS_UNIT}.0::DOUBLE, 9)
+         AS authority
+FROM a{HITS_ITERS}
+ORDER BY auth_fix DESC, item ASC LIMIT {HITS_TOPK}
+"""
+
+
 def ev_markov_transitions(spark, sf):
     """First-order Markov transition matrix over per-user event-type
     sequences — the sequence-modeling primitive behind next-action
@@ -1751,6 +1854,7 @@ QUERIES: dict[str, tuple] = {
     "ev_item_pagerank": (ev_item_pagerank, _pagerank_sql()),
     "ev_item_pagerank_weighted": (
         ev_item_pagerank_weighted, _pagerank_weighted_sql()),
+    "ev_hits": (ev_hits, _hits_sql()),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "ev_hopping": (ev_hopping, EV_HOPPING_SQL),

@@ -812,6 +812,61 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert all(got[0][2] > g[2] for g in got[1:])
 
 
+def test_hits_planted_bipartite(spark, tmp_path):
+    """HITS on a planted bipartite click graph: item 0 is clicked by
+    every user (top authority), item 1 by the three best-connected
+    users, item 2 by one narrow user; authorities come out in that
+    order and every value equals an exact Python replay of the
+    micro-unit integer trajectory ((score*UNIT) div max
+    normalization)."""
+    import datetime as dt
+    import json
+
+    from pdf_extraction_api_spark.operators.relational import (
+        HITS_ITERS,
+        HITS_UNIT,
+        ev_hits,
+    )
+
+    clicks = {u: [0] for u in range(5)}
+    for u in range(3):
+        clicks[u].append(1)
+    clicks[4].append(2)
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 1)
+    for u, items in clicks.items():
+        for it in items:
+            rows.append((eid, ts, u, "click", 1.0,
+                         json.dumps({"k": it})))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [(r.item, r.auth_fix) for r in
+           ev_hits(spark, str(tmp_path)).collect()]
+
+    edges = [(u, i) for u, its in clicks.items() for i in its]
+    hub = {u: HITS_UNIT for u in clicks}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        auth = {}
+        for u, i in edges:
+            auth[i] = auth.get(i, 0) + hub[u]
+        am = max(auth.values())
+        auth = {i: (a * HITS_UNIT) // am for i, a in auth.items()}
+        hub = {}
+        for u, i in edges:
+            hub[u] = hub.get(u, 0) + auth[i]
+        hm = max(hub.values())
+        hub = {u: (h * HITS_UNIT) // hm for u, h in hub.items()}
+    want = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+    order = [i for i, _ in got]
+    assert order == [0, 1, 2]
+    assert got[0][1] == HITS_UNIT        # the max item normalizes to 1
+
+
 def test_collocations_planted_phrase(spark, tmp_path):
     """Collocation scoring on a planted corpus: 'new york' always
     appears as a glued bigram (each word exists ONLY inside it →
