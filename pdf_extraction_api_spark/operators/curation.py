@@ -954,6 +954,150 @@ LEFT JOIN ex e ON e.src_a = p.src_a AND e.src_b = p.src_b
 """
 
 
+DDQ_PCTS = (50, 90, 99)   # reported quantiles (integer percents)
+
+
+def sk_dd_quantile(spark, sf):
+    """DDSketch-style log-binned QUANTILE sketch (Masson et al. 2019,
+    gamma = 2: bin = bit-length of the value) — the fourth sketch
+    family beside KMV/HLL/CMS: a 10^12-row pipeline answers "p99 doc
+    length" from a ~64-integer histogram per group instead of a
+    global sort. Bins are value-domain-fixed (data-independent), so
+    sketches MERGE by cell-wise count sum — demonstrated by the
+    '__all__' row, built from the per-source bins, never rescanning
+    the corpus. Estimation interpolates inside the winning bin with
+    pure INTEGER arithmetic (lo + (hi-lo)*(rank-1) div (cnt-1)), the
+    target rank is ceil(p*n/100) as exact integer math, and the bin
+    index is the bit-length of n_chars via string ops (length of the
+    base-2 expansion — the sk_hll_distinct trick; float log2 of big
+    ints is not bit-stable cross-engine). The exact quantile rides
+    along as the truth baseline via integer-rank order statistics
+    over the VALUE histogram (bounded by the value domain, not the
+    row count — no global row sort anywhere).
+
+    Scale shape: one map-side-combinable (source, bin) count agg →
+    ~64 rows per source; every window/cum-sum below runs on those
+    tiny histograms. The exact branch's value histogram is bounded by
+    |distinct n_chars| (the value domain), kept only as the
+    comparison baseline."""
+    d = T(spark, sf, "documents")
+    b = F.when(F.col("n_chars") <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)))
+    hist_src = (d.select("source", b.cast("int").alias("b"))
+                .groupBy("source", "b")
+                .agg(F.count("*").alias("cnt")))
+    hist_all = (hist_src.groupBy("b")
+                .agg(F.sum("cnt").alias("cnt"))
+                .select(F.lit("__all__").alias("source"), "b", "cnt"))
+    hist = hist_src.unionByName(hist_all)
+    lo = F.when(F.col("b") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), b - 1)"))
+    hi = F.when(F.col("b") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), b) - 1"))
+    w = Window.partitionBy("source").orderBy("b")
+    cum = (hist.select("source", "b", "cnt", lo.alias("lo"),
+                       hi.alias("hi"))
+           .withColumn("cum", F.sum("cnt").over(w)))
+    n = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    pcts = spark.range(len(DDQ_PCTS)).select(
+        F.element_at(F.array(*[F.lit(p) for p in DDQ_PCTS]),
+                     (F.col("id") + 1).cast("int")).alias("p"))
+    ranks = (n.join(F.broadcast(pcts))
+             .select("source", "p", "n",
+                     F.expr("CAST((p * n + 99) div 100 AS BIGINT)")
+                     .alias("r")))
+    est = (cum.join(ranks, "source")
+           .filter((F.col("cum") >= F.col("r"))
+                   & (F.col("cum") - F.col("cnt") < F.col("r")))
+           .select("source", "p", "n",
+                   (F.col("lo")
+                    + F.expr("((hi - lo) * (r - (cum - cnt) - 1))"
+                             " div greatest(cnt - 1, CAST(1 AS"
+                             " BIGINT))")).alias("est_q")))
+    # truth: integer-rank order statistic over the value histogram
+    vh_src = (d.groupBy("source", "n_chars")
+              .agg(F.count("*").alias("cnt")))
+    vh_all = (vh_src.groupBy("n_chars")
+              .agg(F.sum("cnt").alias("cnt"))
+              .select(F.lit("__all__").alias("source"), "n_chars",
+                      "cnt"))
+    wv = Window.partitionBy("source").orderBy("n_chars")
+    vcum = (vh_src.unionByName(vh_all)
+            .withColumn("cum", F.sum("cnt").over(wv)))
+    exact = (vcum.join(ranks, "source")
+             .filter((F.col("cum") >= F.col("r"))
+                     & (F.col("cum") - F.col("cnt") < F.col("r")))
+             .select("source", "p",
+                     F.col("n_chars").cast("long").alias("exact_q")))
+    rel = F.when(F.col("exact_q") == 0, F.lit(0.0)).otherwise(
+        F.abs(F.col("est_q") - F.col("exact_q")).cast("double")
+        / F.col("exact_q").cast("double"))
+    return (est.join(exact, ["source", "p"])
+            .select("source", "p", "n", "exact_q", "est_q",
+                    F.round(rel, 6).alias("rel_err")))
+
+
+SK_DDQ_SQL = f"""
+WITH base AS (
+  SELECT source,
+         CASE WHEN n_chars <= 0 THEN 0
+              ELSE length(bin(n_chars)) END AS b,
+         n_chars
+  FROM documents),
+hist_src AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY source, b),
+hist AS (
+  SELECT source, b, cnt FROM hist_src
+  UNION ALL
+  SELECT '__all__' AS source, b, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM hist_src GROUP BY b),
+cum AS (
+  SELECT source, b, cnt,
+         CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+              ELSE (CAST(1 AS BIGINT) << (b - 1)) END AS lo,
+         CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+              ELSE (CAST(1 AS BIGINT) << b) - 1 END AS hi,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY b)
+              AS BIGINT) AS cum
+  FROM hist),
+ns AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+  FROM hist GROUP BY source),
+pcts AS (SELECT unnest({list(DDQ_PCTS)!r}) AS p),
+ranks AS (
+  SELECT source, p, n,
+         CAST((p * n + 99) // 100 AS BIGINT) AS r
+  FROM ns, pcts),
+est AS (
+  SELECT c.source, r.p, r.n,
+         c.lo + ((c.hi - c.lo) * (r.r - (c.cum - c.cnt) - 1))
+                  // greatest(c.cnt - 1, CAST(1 AS BIGINT)) AS est_q
+  FROM cum c JOIN ranks r ON r.source = c.source
+  WHERE c.cum >= r.r AND c.cum - c.cnt < r.r),
+vh_src AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY source, n_chars),
+vcum AS (
+  SELECT source, n_chars, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars)
+              AS BIGINT) AS cum
+  FROM (SELECT source, n_chars, cnt FROM vh_src
+        UNION ALL
+        SELECT '__all__', n_chars, CAST(sum(cnt) AS BIGINT)
+        FROM vh_src GROUP BY n_chars)),
+ex AS (
+  SELECT v.source, r.p, CAST(v.n_chars AS BIGINT) AS exact_q
+  FROM vcum v JOIN ranks r ON r.source = v.source
+  WHERE v.cum >= r.r AND v.cum - v.cnt < r.r)
+SELECT e.source, e.p, e.n, x.exact_q, e.est_q,
+       round(CASE WHEN x.exact_q = 0 THEN 0.0::DOUBLE
+                  ELSE CAST(abs(e.est_q - x.exact_q) AS DOUBLE)
+                       / CAST(x.exact_q AS DOUBLE) END, 6) AS rel_err
+FROM est e JOIN ex x ON x.source = e.source AND x.p = e.p
+"""
+
+
 HLL_P = 4                 # HLL precision: m = 2^P = 16 registers
 HLL_M = 1 << HLL_P
 HLL_ALPHA = 0.673         # standard bias constant for m = 16
@@ -1705,6 +1849,7 @@ FROM per_doc
 QUERIES = {
     "sk_kmv_distinct": (sk_kmv_distinct, SK_KMV_SQL),
     "sk_kmv_intersect": (sk_kmv_intersect, SK_KMV_INTERSECT_SQL),
+    "sk_dd_quantile": (sk_dd_quantile, SK_DDQ_SQL),
     "tx_entropy": (tx_entropy, TX_ENTROPY_SQL),
     "tx_zipf_fit": (tx_zipf_fit, TX_ZIPF_SQL),
     "dd_substr_dup": (dd_substr_dup, DD_SUBSTR_SQL),

@@ -812,6 +812,67 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert all(got[0][2] > g[2] for g in got[1:])
 
 
+def test_dd_quantile_planted_distribution(spark, tmp_path):
+    """Log-binned quantile sketch on a planted length distribution:
+    the exact column equals the ceil(p*n/100) order statistic
+    computed in Python, the estimate replays the integer
+    bin-interpolation rule exactly, the '__all__' row equals the
+    merge of the per-source bins, and the estimate respects the
+    gamma=2 bin bound (est inside the exact value's bin)."""
+    from pdf_extraction_api_spark.operators.curation import (
+        DDQ_PCTS,
+        sk_dd_quantile,
+    )
+
+    lens = {"A": [10, 20, 30, 40, 50, 600, 700, 800, 900, 1000],
+            "B": [5] * 9 + [100000]}
+    rows, did = [], 0
+    for s_name, ls in lens.items():
+        for ln in ls:
+            rows.append((did, "x" * ln, s_name, "en", ln))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, lang STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.source, r.p): (r.n, r.exact_q, r.est_q, r.rel_err)
+           for r in sk_dd_quantile(spark, str(tmp_path)).collect()}
+
+    def replay(vals, p):
+        n = len(vals)
+        r = (p * n + 99) // 100
+        sv = sorted(vals)
+        exact = sv[r - 1]
+        # sketch replay: bit-length bins, integer interpolation
+        bins = {}
+        for v in vals:
+            bins.setdefault(v.bit_length() if v > 0 else 0,
+                            []).append(v)
+        cum = 0
+        for b in sorted(bins):
+            cnt = len(bins[b])
+            if cum + cnt >= r:
+                lo = 0 if b == 0 else 1 << (b - 1)
+                hi = 0 if b == 0 else (1 << b) - 1
+                est = lo + ((hi - lo) * (r - cum - 1)) // max(cnt - 1, 1)
+                return exact, est
+            cum += cnt
+        raise AssertionError
+
+    groups = dict(lens)
+    groups["__all__"] = lens["A"] + lens["B"]
+    assert set(got) == {(s, p) for s in groups for p in DDQ_PCTS}
+    for (s_name, p), (n, exact_q, est_q, rel) in got.items():
+        vals = groups[s_name]
+        assert n == len(vals)
+        w_exact, w_est = replay(vals, p)
+        assert (exact_q, est_q) == (w_exact, w_est), (s_name, p)
+        # gamma=2 bound: estimate lives in the exact value's bin
+        if exact_q > 0:
+            assert est_q.bit_length() == exact_q.bit_length()
+    assert got[("B", 99)][1] == 100000   # the outlier IS the p99
+
+
 def test_hits_planted_bipartite(spark, tmp_path):
     """HITS on a planted bipartite click graph: item 0 is clicked by
     every user (top authority), item 1 by the three best-connected
