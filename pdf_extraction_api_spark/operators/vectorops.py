@@ -672,6 +672,101 @@ WHERE list_dot_product(a.embedding, b.embedding)
 """
 
 
+def ann_multiprobe_lsh(spark, sf):
+    """Multiprobe LSH ANN (Lv et al. 2007): each query probes its own
+    hyperplane-signature bucket PLUS the N_PLANES buckets at Hamming
+    distance 1 (one sign bit flipped) — the standard recall lever
+    that avoids multiplying hash tables: a near neighbor that landed
+    one flipped bit away is still found, where single-bucket LSH
+    ([dd_embed_lsh]'s geometry) misses it. Candidates get exact
+    cosine and a per-query top-K; n_cand rides along as evidence the
+    probe volume stays bucket-bounded.
+
+    Scale shape: probing is an EQUI-join of (1 + N_PLANES) signature
+    keys per query against the corpus signature table — the bounded
+    query side broadcasts, the corpus streams; never a per-query
+    corpus scan (contrast ann_topk_brute, the deliberate baseline).
+    Mega-buckets are excluded by the same EMBED_BUCKET_CAP guard as
+    dd_embed_lsh (a viral bucket would hand every query its full
+    size); the final top-K window partitions by query over the
+    capped candidate set only."""
+    e = T(spark, sf, "embeddings")
+    signed = e.select("vec_id", "embedding", _sig_col().alias("sig"))
+    sizes = (signed.groupBy("sig")
+             .agg(F.count("*").alias("bn"))
+             .filter(F.col("bn") <= EMBED_BUCKET_CAP)
+             .select("sig"))
+    kept = signed.join(sizes, "sig")
+    probes = F.array(
+        F.col("sig"),
+        *[F.expr(f"sig ^ {1 << j}") for j in range(N_PLANES)])
+    q = (signed.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.explode(probes).alias("sig")))
+    cand = (q.join(kept, "sig")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", F.col("vec_id").alias("c_id")))
+    qn = _with_norm(e.filter(F.col("vec_id") < N_QUERIES),
+                    "embedding", "q").select("q_id", "q_v", "q_norm")
+    cn = _with_norm(e, "embedding", "c").select(
+        F.col("c_id").alias("c_id2"), "c_v", "c_norm")
+    scored = (cand.join(qn, "q_id")
+              .join(cn, cand.c_id == cn.c_id2)
+              .select("q_id", "c_id",
+                      (_cosine("q_v", "c_v")
+                       / (F.col("q_norm") * F.col("c_norm")))
+                      .alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    wc = Window.partitionBy("q_id")
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("n_cand", F.count("*").over(wc))
+            .filter(F.col("rank") <= K)
+            .select("q_id", "rank", F.col("c_id").alias("neighbor_id"),
+                    F.round("cos", 4).alias("cos_sim"), "n_cand"))
+
+
+def _multiprobe_sql() -> str:
+    bit_terms = _sig_terms_sql()
+    flips = ", ".join(str(1 << j) for j in range(N_PLANES))
+    return f"""
+WITH signed AS (
+  SELECT vec_id, embedding, {bit_terms} AS sig FROM embeddings),
+kept AS (
+  SELECT s.* FROM signed s JOIN (
+    SELECT sig FROM signed GROUP BY sig
+    HAVING count(*) <= {EMBED_BUCKET_CAP}) z ON z.sig = s.sig),
+probes AS (
+  SELECT vec_id AS q_id, sig FROM signed WHERE vec_id < {N_QUERIES}
+  UNION ALL
+  SELECT vec_id AS q_id, xor(sig, f.f) AS sig
+  FROM signed, (SELECT unnest([{flips}]) AS f) f
+  WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT p.q_id, k.vec_id AS c_id
+  FROM probes p JOIN kept k ON k.sig = p.sig
+  WHERE k.vec_id <> p.q_id),
+scored AS (
+  SELECT c.q_id, c.c_id,
+         list_dot_product(q.embedding, e.embedding)
+           / (sqrt(list_dot_product(q.embedding, q.embedding))
+              * sqrt(list_dot_product(e.embedding, e.embedding)))
+           AS cos
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.q_id
+  JOIN embeddings e ON e.vec_id = c.c_id)
+SELECT q_id, rank, c_id AS neighbor_id,
+       CAST(round(cos, 4) AS DOUBLE) AS cos_sim, n_cand
+FROM (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id ASC) AS rank,
+             CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT)
+               AS n_cand
+      FROM scored)
+WHERE rank <= {K}
+"""
+
+
 NEW_VEC_MOD = 5  # deterministic pseudo-batch: vec_id % 5 == 0 is "new"
 
 
@@ -1109,6 +1204,7 @@ QUERIES = {
     "vec_pca_power": (vec_pca_power, _pca_sql()),
     "ann_sq8_rerank": (ann_sq8_rerank, ANN_SQ8_SQL),
     "ann_topk_brute": (ann_topk_brute, ANN_BRUTE_SQL),
+    "ann_multiprobe_lsh": (ann_multiprobe_lsh, _multiprobe_sql()),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
     "ann_ivf_probe": (ann_ivf_probe, ANN_IVF_PROBE_SQL),
     "ann_ivf_kmeans": (ann_ivf_kmeans, _kmeans_sql()),

@@ -194,3 +194,68 @@ def test_rp_project_exact_and_jl_property(spark, tmp_path):
             assert got[(vec_id, j)] == pytest.approx(want, abs=1e-9)
         ratios.append((pv @ pv) / (v @ v))
     assert 0.8 < float(np.mean(ratios)) < 1.2
+
+
+def test_multiprobe_lsh_probe_geometry_and_gain(spark):
+    """Multiprobe LSH on the sf0.001 embeddings: every returned
+    neighbor's signature is within Hamming distance 1 of its query's
+    signature, n_cand equals an exact Python replay of the capped
+    probe-bucket census, and Hamming-1 probing strictly widens the
+    candidate pool vs same-bucket-only LSH (the recall lever the op
+    exists for)."""
+    import hashlib
+
+    from pdf_extraction_api_spark.operators.vectorops import (
+        DIM,
+        EMBED_BUCKET_CAP,
+        N_PLANES,
+        N_QUERIES,
+        ann_multiprobe_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vecs = {r.vec_id: r.embedding
+            for r in spark.read.parquet(
+                f"{sf}/embeddings.parquet").collect()}
+
+    planes = []
+    for j in range(N_PLANES):
+        planes.append([
+            1 if int(hashlib.md5(
+                f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
+            for i in range(DIM)])
+
+    def sig(v):
+        s = 0
+        for j in range(N_PLANES):
+            if sum(float(x) * r for x, r in zip(v, planes[j])) > 0:
+                s |= 1 << j
+        return s
+
+    sigs = {i: sig(v) for i, v in vecs.items()}
+    from collections import Counter
+    bucket_n = Counter(sigs.values())
+
+    got = ann_multiprobe_lsh(spark, sf).collect()
+    assert got
+    n_cand_got = {}
+    for r in got:
+        d = bin(sigs[r.q_id] ^ sigs[r.neighbor_id]).count("1")
+        assert d <= 1, (r.q_id, r.neighbor_id)
+        assert bucket_n[sigs[r.neighbor_id]] <= EMBED_BUCKET_CAP
+        n_cand_got[r.q_id] = r.n_cand
+
+    total_single = 0
+    for q in range(N_QUERIES):
+        probes = {sigs[q]} | {sigs[q] ^ (1 << j)
+                              for j in range(N_PLANES)}
+        want = sum(1 for c, s in sigs.items()
+                   if c != q and s in probes
+                   and bucket_n[s] <= EMBED_BUCKET_CAP)
+        if q in n_cand_got:
+            assert n_cand_got[q] == want, q
+        total_single += sum(
+            1 for c, s in sigs.items()
+            if c != q and s == sigs[q]
+            and bucket_n[s] <= EMBED_BUCKET_CAP)
+    assert sum(n_cand_got.values()) > total_single
