@@ -1432,10 +1432,18 @@ def ev_item_pagerank(spark, sf):
     w_cap = Window.partitionBy("user_id").orderBy("item")
     ui = (ui.withColumn("rk", F.row_number().over(w_cap))
           .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    # edges feeds every iteration and pr feeds both the contribution
+    # join and the rank update — without lineage truncation the
+    # unrolled tree re-derives the user-pair self-join 2^PR_ITERS
+    # times (round-7 plan audit). LAZY localCheckpoint (not the eager
+    # kmeans_cells kind — plan build stays lazy) materializes each
+    # item-sized table once; at cluster scale the reliable-checkpoint
+    # variant trades executor-loss recompute for the same shape.
     edges = (ui.alias("a").join(ui.alias("b"), "user_id")
              .filter(F.col("a.item") != F.col("b.item"))
              .select(F.col("a.item").alias("src"),
-                     F.col("b.item").alias("dst")).distinct())
+                     F.col("b.item").alias("dst")).distinct()
+             .localCheckpoint(eager=False))
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     n_nodes = deg.agg(F.count("*").alias("n"))
     pr = (deg.join(F.broadcast(n_nodes))
@@ -1443,6 +1451,7 @@ def ev_item_pagerank(spark, sf):
                   F.expr(f"CAST({PR_NANO} AS BIGINT) div n")
                   .alias("pr_nano"), "n"))
     for _ in range(PR_ITERS):
+        pr = pr.localCheckpoint(eager=False)
         contrib = (pr.join(edges, pr.item == edges.src)
                    .select(F.col("dst").alias("item"),
                            F.expr("pr_nano div d").alias("c")))
@@ -1531,11 +1540,16 @@ def ev_item_pagerank_weighted(spark, sf):
     w_cap = Window.partitionBy("user_id").orderBy("item")
     ui = (ui.withColumn("rk", F.row_number().over(w_cap))
           .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    # same lazy-localCheckpoint discipline as ev_item_pagerank
+    # (round-7 plan audit): edges and the iterated rank table are
+    # item-sized and multiply-consumed — lineage truncation kills the
+    # 2^PR_ITERS tree blowup while plan build stays lazy
     edges = (ui.alias("a").join(ui.alias("b"), "user_id")
              .filter(F.col("a.item") != F.col("b.item"))
              .groupBy(F.col("a.item").alias("src"),
                       F.col("b.item").alias("dst"))
-             .agg(F.count("*").alias("w")))
+             .agg(F.count("*").alias("w"))
+             .localCheckpoint(eager=False))
     strength = edges.groupBy("src").agg(F.sum("w").alias("sw"))
     n_nodes = strength.agg(F.count("*").alias("n"))
     pr = (strength.join(F.broadcast(n_nodes))
@@ -1543,6 +1557,7 @@ def ev_item_pagerank_weighted(spark, sf):
                   F.expr(f"CAST({PR_NANO} AS BIGINT) div n")
                   .alias("pr_nano"), "n"))
     for _ in range(PR_ITERS):
+        pr = pr.localCheckpoint(eager=False)
         contrib = (pr.join(edges, pr.item == edges.src)
                    .select(F.col("dst").alias("item"),
                            F.expr("(pr_nano * w) div sw").alias("c")))
@@ -1636,22 +1651,31 @@ def ev_hits(spark, sf):
     ui = (e.filter(F.col("event_type") == "click")
           .select("user_id", k.alias("item")).distinct())
     w_cap = Window.partitionBy("user_id").orderBy("item")
+    # edges feeds both halves of every iteration; each raw score table
+    # feeds its own max AND the normalize join — without lineage
+    # truncation the unrolled tree re-derives them 2x per
+    # half-iteration (2^6 edge scans at 3 iterations; round-7 plan
+    # audit). LAZY localCheckpoint keeps plan build lazy; every
+    # truncated table is item/user-sized, never event-sized.
     edges = (ui.withColumn("rk", F.row_number().over(w_cap))
-             .filter(F.col("rk") <= PR_CAP).drop("rk"))
+             .filter(F.col("rk") <= PR_CAP).drop("rk")
+             .localCheckpoint(eager=False))
     hub = (edges.select("user_id").distinct()
            .select("user_id",
                    F.lit(HITS_UNIT).cast("long").alias("h")))
     auth = None
     for _ in range(HITS_ITERS):
         a_raw = (edges.join(hub, "user_id")
-                 .groupBy("item").agg(F.sum("h").alias("ar")))
+                 .groupBy("item").agg(F.sum("h").alias("ar"))
+                 .localCheckpoint(eager=False))
         a_max = a_raw.agg(F.max("ar").alias("am"))
         auth = (a_raw.join(F.broadcast(a_max))
                 .select("item",
                         F.expr(f"(ar * CAST({HITS_UNIT} AS BIGINT))"
                                " div am").alias("a")))
         h_raw = (edges.join(auth, "item")
-                 .groupBy("user_id").agg(F.sum("a").alias("hr")))
+                 .groupBy("user_id").agg(F.sum("a").alias("hr"))
+                 .localCheckpoint(eager=False))
         h_max = h_raw.agg(F.max("hr").alias("hm"))
         hub = (h_raw.join(F.broadcast(h_max))
                .select("user_id",

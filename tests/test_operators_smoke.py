@@ -164,6 +164,22 @@ def test_substr_dup_single_tokenize_pass(spark, registry):
     assert p.count("Generate explode") <= p.count("InMemoryTableScan"), p
 
 
+def test_fixed_point_plans_are_truncated(spark, registry):
+    """The unrolled fixed-point graph ops (PageRank x2, HITS) must
+    keep their final plans SMALL: without per-iteration lineage
+    truncation the tree re-derives the edge self-join 2^iters times
+    (round-7 audit: ev_hits reached 374 printed Exchanges). The lazy
+    localCheckpoint discipline caps the final executed plan at a
+    handful of Exchanges and no nested re-derivation."""
+    queries, _ = registry
+    for name in ("ev_item_pagerank", "ev_item_pagerank_weighted",
+                 "ev_hits"):
+        p = (queries[name](spark, SF)
+             ._jdf.queryExecution().executedPlan().toString())
+        assert p.count("Exchange") <= 8, (name, p.count("Exchange"))
+        assert "CartesianProduct" not in p, name
+
+
 def test_asof_two_parallelism_determinism(spark, registry):
     """The round-6 sort-based as-of plan returns identical rows at 2
     vs 32 shuffle partitions (the in-session N vs 4N proxy — same
