@@ -1634,6 +1634,99 @@ GROUP BY c.doc_id
 """
 
 
+LANGID_M = 50    # trigram profile size per language
+
+
+def tx_langid_trigram(spark, sf):
+    """Character-trigram language-ID with a CONFUSION MATRIX — the
+    n-gram-profile classifier (Cavnar & Trenkle 1994) behind every
+    production langid pass, self-supervised here: per labeled lang,
+    the LANGID_M most frequent character trigrams form the profile;
+    each doc is scored by |its distinct trigrams ∩ profile| per lang,
+    predicted = argmax (ties → lexicographically first lang, docs
+    with no profile hit → 'unknown'), and the output is the
+    (label, predicted, count) confusion matrix — the classifier-eval
+    table a pipeline reviews before trusting the labels. Exact
+    integer evidence end to end. Complements [tx_langid_argmax]
+    (keyword CASE scores) with the real n-gram-profile method.
+    (On the synthetic corpus the lang labels all draw from one shared
+    vocabulary, so the matrix is honestly OFF-diagonal there — the
+    eval op reporting that a classifier cannot separate unseparable
+    labels is the point; the planted-corpus test pins the diagonal
+    case.)
+
+    Scale shape: trigram extraction is a zero-shuffle HOF transform
+    over the text (map-side, token-scale); profiles are one hash agg
+    + a per-lang top-M over the (langs x trigram) counts; scoring is
+    a BROADCAST join of the tiny (langs x M) profile against per-doc
+    distinct trigrams; the per-doc argmax is one row_number window
+    on doc_id; the matrix is a final |langs|^2-row agg."""
+    d = T(spark, sf, "documents")
+    # len<3 guard: Spark sequence(1, 0) DESCENDS ([1,0]) instead of
+    # being empty like DuckDB range(1,1) — short docs must yield no
+    # trigrams on both engines
+    tris = F.when(
+        F.length("text") >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3))))
+    ).otherwise(F.array().cast("array<string>"))
+    dt = (d.select("doc_id", "lang", F.explode(tris).alias("tri")))
+    prof_cnt = dt.groupBy("lang", "tri").agg(F.count("*").alias("n"))
+    w_top = Window.partitionBy("lang").orderBy(
+        F.desc("n"), F.asc("tri"))
+    prof = (prof_cnt.withColumn("rk", F.row_number().over(w_top))
+            .filter(F.col("rk") <= LANGID_M)
+            .select(F.col("lang").alias("plang"), "tri"))
+    hits = (dt.join(F.broadcast(prof), "tri")
+            .groupBy("doc_id", "plang")
+            .agg(F.count("*").alias("hits")))
+    w_arg = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("plang"))
+    pred = (hits.withColumn("rk", F.row_number().over(w_arg))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("plang").alias("pred")))
+    return (d.select("doc_id", "lang")
+            .join(pred, "doc_id", "left")
+            .groupBy("lang",
+                     F.coalesce("pred", F.lit("unknown")).alias("pred"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+TX_LANGID_TRI_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, lang, tri
+  FROM (SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 range(1, greatest(length(text) - 2, 0) + 1),
+                 i -> substr(text, CAST(i AS INT), 3))) AS tris
+        FROM documents),
+       LATERAL (SELECT unnest(tris) AS tri) t),
+prof AS (
+  SELECT lang AS plang, tri FROM (
+    SELECT lang, tri,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, tri ASC) AS rk
+    FROM dt GROUP BY lang, tri)
+  WHERE rk <= {LANGID_M}),
+hits AS (
+  SELECT d.doc_id, p.plang, CAST(count(*) AS BIGINT) AS hits
+  FROM dt d JOIN prof p ON p.tri = d.tri
+  GROUP BY d.doc_id, p.plang),
+pred AS (
+  SELECT doc_id, plang AS pred FROM (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, plang ASC) AS rk
+    FROM hits)
+  WHERE rk = 1)
+SELECT d.lang, coalesce(p.pred, 'unknown') AS pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY d.lang, coalesce(p.pred, 'unknown')
+"""
+
+
 COLL_MIN = 5     # min bigram occurrences for a collocation candidate
 COLL_TOPK = 30
 
@@ -1855,6 +1948,7 @@ QUERIES = {
     "dd_substr_dup": (dd_substr_dup, DD_SUBSTR_SQL),
     "tx_substr_scrub": (tx_substr_scrub, TX_SUBSTR_SCRUB_SQL),
     "tx_collocations": (tx_collocations, TX_COLLOCATIONS_SQL),
+    "tx_langid_trigram": (tx_langid_trigram, TX_LANGID_TRI_SQL),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),

@@ -812,6 +812,45 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert all(got[0][2] > g[2] for g in got[1:])
 
 
+def test_langid_trigram_planted_confusion(spark, tmp_path):
+    """Trigram langid on a planted corpus: two languages with
+    disjoint character inventories classify perfectly (diagonal
+    confusion matrix), a doc written in the OTHER language's
+    trigrams lands on the off-diagonal cell, and a sub-trigram doc
+    is 'unknown' (the Spark sequence(1,0)-descends edge)."""
+    from pdf_extraction_api_spark.operators.curation import (
+        tx_langid_trigram,
+    )
+
+    import itertools
+
+    # >LANGID_M distinct high-count trigrams per language so a single
+    # stray doc's count-1 trigrams can NOT enter the label's profile
+    # (self-supervision would otherwise absorb the mislabeled doc)
+    aa_text = " ".join("".join(t) for t in
+                       itertools.product("abcd", repeat=3))
+    zz_text = " ".join("".join(t) for t in
+                       itertools.product("wxyz", repeat=3))
+    rows = []
+    for i in range(6):
+        rows.append((i, aa_text, "aa", "s", len(aa_text)))
+    for i in range(6, 12):
+        rows.append((i, zz_text, "zz", "s", len(zz_text)))
+    rows.append((12, zz_text[:40], "aa", "s", 40))    # mislabeled doc
+    rows.append((13, "hi", "aa", "s", 2))             # too short
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.lang, r.pred): r.n_docs
+           for r in tx_langid_trigram(spark, str(tmp_path)).collect()}
+    assert got[("aa", "aa")] == 6
+    assert got[("zz", "zz")] == 6
+    assert got[("aa", "zz")] == 1        # the mislabeled doc is caught
+    assert got[("aa", "unknown")] == 1   # sub-trigram doc
+    assert ("zz", "aa") not in got
+
+
 def test_dd_quantile_planted_distribution(spark, tmp_path):
     """Log-binned quantile sketch on a planted length distribution:
     the exact column equals the ceil(p*n/100) order statistic
