@@ -156,7 +156,68 @@ FROM documents WHERE doc_id < {_N_FILES}
 GROUP BY 1
 """
 
+def _jsonl_tree(spark, sf: str) -> Path:
+    """Deterministic JSONL file tree (one file per 16-doc shard) —
+    the lingua-franca format of LLM training corpora."""
+    rows = (
+        T(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") < _N_FILES)
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    def write(stage: Path, rows):
+        import json
+
+        shards: dict[int, list] = {}
+        for r in rows:
+            shards.setdefault(int(r.doc_id) // 16, []).append(r)
+        for shard, items in shards.items():
+            lines = [json.dumps({"id": int(r.doc_id), "lang": r.lang,
+                                 "text": r.text},
+                                ensure_ascii=False)
+                     for r in items]
+            (stage / f"part_{shard:03d}.jsonl").write_text(
+                "\n".join(lines) + "\n", encoding="utf-8")
+
+    return _build_tree("jsonl", rows, write)
+
+
+def s11_jsonl_glob(spark, sf):
+    """S11 (engine-added source): JSONL glob ingestion — the standard
+    interchange format of web-scale text corpora (one JSON object per
+    line). A REAL spark.read.json scan with an explicit schema (no
+    sampling inference pass — at 100 TB schema inference would read
+    the corpus twice) and input_file_name() lineage; md5(text)
+    certifies the write→escape→parse round-trip byte-exactly against
+    the originating table."""
+    base = _jsonl_tree(spark, sf)
+    df = (
+        spark.read.schema("id LONG, lang STRING, text STRING")
+        .json(str(base / "*.jsonl"))
+        .withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(),
+                             r"part_(\d+)\.jsonl", 1).cast("int"))
+    )
+    return df.select(
+        F.col("id").alias("doc_id"), "lang", "shard",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+S11_SQL = f"""
+SELECT doc_id, lang, CAST(doc_id // 16 AS INT) AS shard,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents WHERE doc_id < {_N_FILES}
+"""
+
+
 QUERIES = {
     "s6_binary_glob": (s6_binary_glob, S6_SQL),
     "s5_csv_glob": (s5_csv_glob, S5_SQL),
+    "s11_jsonl_glob": (s11_jsonl_glob, S11_SQL),
 }
