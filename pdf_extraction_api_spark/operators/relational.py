@@ -1623,6 +1623,100 @@ ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
 """
 
 
+RULES_TOPK = 30
+RULES_MIN_CO = 2   # min co-click users for a rule (= PMI_MIN_CO)
+
+
+def ev_basket_rules(spark, sf):
+    """Association rules over co-clicked items — the market-basket
+    classic (Agrawal & Srikant 1994) and the DIRECTIONAL complement
+    of [ev_pmi_pairs]' symmetric score: for an ordered rule a→b,
+    support = users(a,b)/N, confidence = users(a,b)/users(a), lift =
+    confidence / (users(b)/N). Confidence ranks what PMI cannot —
+    a→b and b→a differ when the antecedent is niche — which is why
+    recommender rules use it. Exact BIGINT evidence columns ride
+    along; each float is one closed-form division of exact integers.
+
+    Scale shape: identical to ev_pmi_pairs — PR_CAP bounds the
+    per-user pair fan-out, one map-side-combinable pair count, item
+    counts broadcast onto the n_ab >= RULES_MIN_CO survivors,
+    TakeOrderedAndProject top-k."""
+    e = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ui = (e.filter(F.col("event_type") == "click")
+          .select("user_id", k.alias("item")).distinct())
+    w_cap = Window.partitionBy("user_id").orderBy("item")
+    ui = (ui.withColumn("rk", F.row_number().over(w_cap))
+          .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    n_total = ui.select("user_id").distinct().agg(
+        F.count("*").alias("n_users"))
+    item_n = ui.groupBy("item").agg(F.count("*").alias("n_item"))
+    pairs = (ui.alias("a").join(ui.alias("b"), "user_id")
+             .filter(F.col("a.item") != F.col("b.item"))
+             .groupBy(F.col("a.item").alias("item_a"),
+                      F.col("b.item").alias("item_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= RULES_MIN_CO))
+    na = item_n.select(F.col("item").alias("item_a"),
+                       F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("item_b"),
+                       F.col("n_item").alias("n_b"))
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    return (pairs.join(F.broadcast(na), "item_a")
+            .join(F.broadcast(nb), "item_b")
+            .join(F.broadcast(n_total))
+            .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                    F.round(F.col("n_ab").cast("double")
+                            / F.col("n_users").cast("double"), 6)
+                    .alias("support"),
+                    F.round(conf, 6).alias("confidence"),
+                    F.round(conf * F.col("n_users").cast("double")
+                            / F.col("n_b").cast("double"), 6)
+                    .alias("lift"))
+            .orderBy(F.desc("confidence"), F.asc("item_a"),
+                     F.asc("item_b"))
+            .limit(RULES_TOPK))
+
+
+EV_RULES_SQL = f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'),
+ui AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item)
+             AS rk
+    FROM ui0) WHERE rk <= {PR_CAP}),
+nt AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM ui),
+item_n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item
+  FROM ui GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM ui a JOIN ui b
+    ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY a.item, b.item HAVING count(*) >= {RULES_MIN_CO})
+SELECT p.item_a, p.item_b, p.n_ab,
+       na.n_item AS n_a, nb.n_item AS n_b,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(nt.n_users AS DOUBLE), 6)
+         AS support,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE)
+             * CAST(nt.n_users AS DOUBLE)
+             / CAST(nb.n_item AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN item_n na ON na.item = p.item_a
+JOIN item_n nb ON nb.item = p.item_b, nt
+ORDER BY confidence DESC, item_a ASC, item_b ASC
+LIMIT {RULES_TOPK}
+"""
+
+
 def ev_holdout_lift(spark, sf):
     """Hash-holdout experiment readout — the A/B analysis every
     event pipeline ends in: users are deterministically split by
@@ -1966,6 +2060,7 @@ QUERIES: dict[str, tuple] = {
         ev_item_pagerank_weighted, _pagerank_weighted_sql()),
     "ev_hits": (ev_hits, _hits_sql()),
     "ev_holdout_lift": (ev_holdout_lift, EV_HOLDOUT_SQL),
+    "ev_basket_rules": (ev_basket_rules, EV_RULES_SQL),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "ev_hopping": (ev_hopping, EV_HOPPING_SQL),

@@ -1416,3 +1416,36 @@ def test_grouping_sets_matches_direct_groupbys(spark):
     assert got_status == by_status
     assert got_total == [total]
     assert len(rows) == len(by_flag) + len(by_status) + 1
+
+
+def test_basket_rules_directional(spark, tmp_path):
+    """Association rules on a planted basket design: item 9 is niche
+    (2 users, both also click hub 0 → conf(9→0)=1.0) while the hub
+    is broad (10 users → conf(0→9)=0.2) — the directional asymmetry
+    PMI cannot express; every emitted support/confidence/lift equals
+    the exact recompute from the planted counts."""
+    import datetime as dt
+    import json
+
+    from pdf_extraction_api_spark.operators.relational import (
+        ev_basket_rules,
+    )
+
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 1)
+    for u in range(10):                    # all 10 users click hub 0
+        rows.append((eid, ts, u, "click", 1.0,
+                     json.dumps({"k": 0}))); eid += 1
+    for u in (0, 1):                       # niche item 9
+        rows.append((eid, ts, u, "click", 1.0,
+                     json.dumps({"k": 9}))); eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {(r.item_a, r.item_b):
+           (r.n_ab, r.n_a, r.n_b, r.support, r.confidence, r.lift)
+           for r in ev_basket_rules(spark, str(tmp_path)).collect()}
+    assert got[(9, 0)] == (2, 2, 10, 0.2, 1.0, 1.0)
+    assert got[(0, 9)] == (2, 10, 2, 0.2, 0.2, 1.0)
+    assert got[(9, 0)][4] > got[(0, 9)][4]   # directionality
