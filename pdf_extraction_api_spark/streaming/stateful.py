@@ -370,3 +370,80 @@ def kmv_stream(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DDQ_OUT = StructType([
+    StructField("source", StringType()),
+    StructField("n", LongType()),
+    StructField("q50", LongType()),
+    StructField("q90", LongType()),
+    StructField("q99", LongType()),
+])
+DDQ_STATE = StructType([
+    StructField("bins", StringType()),  # 'b:cnt,...' sparse log bins
+])
+
+
+def _ddq_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Constant-state streaming DDSketch-style quantile sketch: the
+    per-source state is the sparse log-bin histogram (~64 counters)
+    no matter how many docs stream past — the incremental twin of the
+    batch [sk_dd_quantile], completing the fourth sketch family's
+    stream≡batch pair. Binning happens JVM-side in ddq_stream (the
+    identical bit-length expression as the batch op); the estimate
+    replays the batch op's integer interpolation rule exactly, so the
+    final emission per source is value-equal to the batch sketch."""
+    import pandas as pd
+
+    from ..operators.curation import DDQ_PCTS
+
+    bins: dict[int, int] = {}
+    if state.exists:
+        (blob,) = state.get
+        if blob:
+            for part in blob.split(","):
+                b, c = part.split(":")
+                bins[int(b)] = int(c)
+    for pdf in pdfs:
+        for b in pdf["b"].values:
+            b = int(b)
+            bins[b] = bins.get(b, 0) + 1
+    state.update((",".join(f"{b}:{c}" for b, c in sorted(bins.items())),))
+    n = sum(bins.values())
+
+    def est(p):
+        r = (p * n + 99) // 100
+        cum = 0
+        for b in sorted(bins):
+            cnt = bins[b]
+            if cum + cnt >= r:
+                lo = 0 if b == 0 else 1 << (b - 1)
+                hi = 0 if b == 0 else (1 << b) - 1
+                return lo + ((hi - lo) * (r - cum - 1)) // max(cnt - 1, 1)
+            cum += cnt
+        return 0
+
+    qs = [est(p) for p in DDQ_PCTS]
+    yield pd.DataFrame({"source": [key[0]], "n": [n],
+                        "q50": [qs[0]], "q90": [qs[1]], "q99": [qs[2]]})
+
+
+def ddq_stream(docs_stream: DataFrame) -> DataFrame:
+    """Running per-source quantile sketch, constant state. The log
+    bin is the SAME JVM expression as batch sk_dd_quantile (length of
+    the base-2 expansion), so streamed and batch histograms are
+    cell-equal by construction."""
+    b = F.when(F.col("n_chars") <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)))
+    keyed = docs_stream.select("source", b.cast("int").alias("b"))
+    return keyed.groupBy("source").applyInPandasWithState(
+        _ddq_update,
+        outputStructType=DDQ_OUT,
+        stateStructType=DDQ_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

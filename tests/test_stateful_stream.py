@@ -314,3 +314,57 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
     for s_name, (_, est) in final.items():
         assert est == pytest.approx(batch[s_name]), s_name
     assert len(rows) > len(final)   # at least one source saw 2 batches
+
+
+def test_streaming_ddq_matches_batch_sketch(spark, tmp_path):
+    """Constant-state streaming quantile sketch: after the last
+    microbatch each source's (q50, q90, q99) estimates are row-equal
+    to the batch sk_dd_quantile est_q values on the same corpus —
+    the FOURTH stream≡batch sketch pair (KMV, HLL, CMS, DDQ)."""
+    from pdf_extraction_api_spark.operators.curation import (
+        sk_dd_quantile,
+    )
+    from pdf_extraction_api_spark.streaming.stateful import ddq_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mid = docs.agg({"doc_id": "avg"}).collect()[0][0]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs.filter(docs.doc_id <= mid).coalesce(1).write.parquet(
+        str(src / "a.parquet"))
+    docs.filter(docs.doc_id > mid).coalesce(1).write.parquet(
+        str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        ddq_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ddq_running")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT source, n, q50, q90, q99 FROM ddq_running").collect()
+    final = {}
+    for r in rows:
+        if r.source not in final or r.n > final[r.source][0]:
+            final[r.source] = (r.n, r.q50, r.q90, r.q99)
+    batch = {}
+    for r in sk_dd_quantile(spark, sf).collect():
+        if r.source != "__all__":
+            batch.setdefault(r.source, {})[r.p] = r.est_q
+    assert set(final) == set(batch)
+    for s_name, (_, q50, q90, q99) in final.items():
+        assert (q50, q90, q99) == (
+            batch[s_name][50], batch[s_name][90], batch[s_name][99]
+        ), s_name
+    assert len(rows) > len(final)
