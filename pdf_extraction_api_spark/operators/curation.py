@@ -1634,6 +1634,152 @@ GROUP BY c.doc_id
 """
 
 
+SUBSTR_DROP = 0.5   # dup_frac at/above which a doc is substr-dropped
+
+
+def dd_verdict(spark, sf):
+    """THE per-document dedup verdict — the capstone that runs the
+    whole dedup pipeline as ONE relation (what a user of the
+    reference's dedup stack actually materializes before training):
+    precedence exact > near > substr > keep. exact_dup = a later copy
+    of an identical text (md5 group, keeper = min doc_id — dd_exact
+    semantics); near_dup = a later doc whose FULL MinHash band
+    signature (all N_BANDS band minima — the conservative
+    signature-identical rule, no pair join needed) matches an earlier
+    doc's; substr_dup = >= SUBSTR_DROP of its sliding windows REPEAT
+    an earlier doc's windows (first-wins, [tx_substr_scrub]'s keeper
+    rule — NOT [dd_substr_dup]'s symmetric rate, which would drop the
+    keeper of every duplicate group along with its copies). Count
+    evidence rides along for every rule.
+
+    Scale shape: three map-side-combinable hash aggs (md5 groups,
+    per-doc band minima in ONE agg, window-hash counts) + broadcast-
+    able verdict joins — no pair enumeration anywhere; the signature-
+    identical rule trades recall for a strictly-bounded plan (the
+    pairwise recall path is dd_minhash_lsh → dd_components)."""
+    from .textops import N_BANDS, _shingles
+
+    d = T(spark, sf, "documents")
+    exact = (d.groupBy(F.md5("text").alias("h"))
+             .agg(F.min("doc_id").alias("e_keeper"),
+                  F.count("*").alias("e_n")))
+    ex = d.select("doc_id", F.md5("text").alias("h")).join(exact, "h")
+    sh = _shingles(spark, sf)
+    sigs = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(str(b)), "shingle")))
+        .alias(f"s{b}") for b in range(N_BANDS)])
+    fullsig = sigs.select(
+        "doc_id",
+        F.concat_ws("|", *[f"s{b}" for b in range(N_BANDS)]).alias("fs"))
+    near = (fullsig.groupBy("fs")
+            .agg(F.min("doc_id").alias("n_keeper"),
+                 F.count("*").alias("n_n")))
+    nr = fullsig.join(near, "fs").select("doc_id", "n_keeper", "n_n")
+    # first-wins window-repeat fraction (not dd_substr_dup's
+    # symmetric rate): a window is a repeat iff an EARLIER doc holds
+    # the same token run
+    toked = (d.select("doc_id", ws_tokens().alias("toks"))
+             .filter(F.size("toks") >= SUBSTR_W))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - SUBSTR_W),
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice("toks", i + 1, SUBSTR_W))))
+    wh = toked.select("doc_id", F.explode(wins).alias("h"))
+    firsts = wh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    n_dup = (wh.join(firsts, "h")
+             .filter(F.col("doc_id") > F.col("first_doc"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
+    per_doc = toked.select(
+        "doc_id",
+        (F.size("toks") - SUBSTR_W + 1).cast("long").alias("n_win"))
+    sub = (per_doc.join(n_dup, "doc_id", "left")
+           .select("doc_id",
+                   F.round(F.coalesce("n_dup", F.lit(0))
+                           / F.col("n_win").cast("double"), 6)
+                   .alias("dup_frac")))
+    j = (ex.select("doc_id", "e_keeper", "e_n")
+         .join(nr, "doc_id", "left")
+         .join(sub, "doc_id", "left"))
+    verdict = (
+        F.when((F.col("e_n") >= 2)
+               & (F.col("doc_id") > F.col("e_keeper")), "exact_dup")
+        .when((F.coalesce("n_n", F.lit(0)) >= 2)
+              & (F.col("doc_id") > F.col("n_keeper")), "near_dup")
+        .when(F.coalesce("dup_frac", F.lit(0.0)) >= SUBSTR_DROP,
+              "substr_dup")
+        .otherwise("keep"))
+    return j.select(
+        "doc_id", verdict.alias("verdict"),
+        F.col("e_n").alias("exact_n"),
+        F.coalesce("n_n", F.lit(0)).alias("near_n"),
+        F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"))
+
+
+def _verdict_sql() -> str:
+    from .textops import _SHINGLES_SQL, N_BANDS
+
+    sig_cols = ", ".join(
+        f"min(md5('{b}' || ':' || shingle)) AS s{b}"
+        for b in range(N_BANDS))
+    fs = " || '|' || ".join(f"s{b}" for b in range(N_BANDS))
+    return f"""
+WITH exact AS (
+  SELECT md5(text) AS h, min(doc_id) AS e_keeper,
+         CAST(count(*) AS BIGINT) AS e_n
+  FROM documents GROUP BY 1),
+ex AS (
+  SELECT d.doc_id, e.e_keeper, e.e_n
+  FROM documents d JOIN exact e ON e.h = md5(d.text)),
+shingles AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+fullsig AS (SELECT doc_id, {fs} AS fs FROM sigs),
+near AS (
+  SELECT fs, min(doc_id) AS n_keeper,
+         CAST(count(*) AS BIGINT) AS n_n
+  FROM fullsig GROUP BY fs),
+nr AS (
+  SELECT f.doc_id, n.n_keeper, n.n_n
+  FROM fullsig f JOIN near n ON n.fs = f.fs),
+toked AS (
+  SELECT doc_id, {WS_TOKS_SQL} AS toks FROM documents),
+wh AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i + 1 : i + {SUBSTR_W}], ' ')) AS h
+  FROM toked, LATERAL (
+    SELECT unnest(range(len(toks) - {SUBSTR_W} + 1)) AS i) t
+  WHERE len(toks) >= {SUBSTR_W}),
+firsts AS (
+  SELECT h, min(doc_id) AS first_doc FROM wh GROUP BY h),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+  FROM wh GROUP BY doc_id),
+dup_per_doc AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+  FROM wh w JOIN firsts f ON f.h = w.h AND w.doc_id > f.first_doc
+  GROUP BY w.doc_id),
+sub AS (
+  SELECT p.doc_id,
+         round(CAST(coalesce(dp.n_dup, 0) AS DOUBLE)
+               / CAST(p.n_windows AS DOUBLE), 6) AS dup_frac
+  FROM per_doc p LEFT JOIN dup_per_doc dp ON dp.doc_id = p.doc_id)
+SELECT e.doc_id,
+       CASE
+         WHEN e.e_n >= 2 AND e.doc_id > e.e_keeper THEN 'exact_dup'
+         WHEN coalesce(n.n_n, 0) >= 2 AND e.doc_id > n.n_keeper
+           THEN 'near_dup'
+         WHEN coalesce(s.dup_frac, 0.0::DOUBLE) >= {SUBSTR_DROP}::DOUBLE
+           THEN 'substr_dup'
+         ELSE 'keep' END AS verdict,
+       e.e_n AS exact_n,
+       CAST(coalesce(n.n_n, 0) AS BIGINT) AS near_n,
+       CAST(coalesce(s.dup_frac, 0.0) AS DOUBLE) AS dup_frac
+FROM ex e
+LEFT JOIN nr n ON n.doc_id = e.doc_id
+LEFT JOIN sub s ON s.doc_id = e.doc_id
+"""
+
+
 LANGID_M = 50    # trigram profile size per language
 
 
@@ -1949,6 +2095,7 @@ QUERIES = {
     "tx_substr_scrub": (tx_substr_scrub, TX_SUBSTR_SCRUB_SQL),
     "tx_collocations": (tx_collocations, TX_COLLOCATIONS_SQL),
     "tx_langid_trigram": (tx_langid_trigram, TX_LANGID_TRI_SQL),
+    "dd_verdict": (dd_verdict, _verdict_sql()),
     "sk_cms_heavy": (sk_cms_heavy, _cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, SK_HLL_SQL),
     "tx_dsir_weight": (tx_dsir_weight, TX_DSIR_SQL),

@@ -1449,3 +1449,36 @@ def test_basket_rules_directional(spark, tmp_path):
     assert got[(9, 0)] == (2, 2, 10, 0.2, 1.0, 1.0)
     assert got[(0, 9)] == (2, 10, 2, 0.2, 0.2, 1.0)
     assert got[(9, 0)][4] > got[(0, 9)][4]   # directionality
+
+
+def test_dd_verdict_precedence_and_first_wins(spark, tmp_path):
+    """The dedup capstone on a planted corpus exercising every rule:
+    an identical copy is exact_dup, a whitespace variant (same token
+    stream → same full MinHash signature) is near_dup, a doc that is
+    mostly a shifted copy of the keeper's run is substr_dup, and the
+    KEEPER of all of them stays 'keep' — the first-wins window rule
+    (a symmetric rate would drop the original along with its
+    copies)."""
+    from pdf_extraction_api_spark.operators.curation import dd_verdict
+
+    base_toks = [f"a{i}" for i in range(40)]
+    t0 = " ".join(base_toks)
+    t2 = "  ".join(base_toks)                 # same tokens, new md5
+    t3 = " ".join(base_toks[:30] + [f"b{i}" for i in range(10)])
+    t4 = " ".join(f"c{i}" for i in range(40))
+    rows = [(0, t0), (1, t0), (2, t2), (3, t3), (4, t4)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in dd_verdict(spark, str(tmp_path)).collect()}
+
+    assert got[0].verdict == "keep"           # keeper survives all
+    assert got[0].exact_n == 2 and got[0].near_n == 3
+    assert got[0].dup_frac == 0.0             # first-wins
+    assert got[1].verdict == "exact_dup"
+    assert got[2].verdict == "near_dup"       # md5 differs, sig equal
+    assert got[3].verdict == "substr_dup"
+    assert got[3].dup_frac == round(23 / 33, 6)
+    assert got[4].verdict == "keep"
