@@ -436,3 +436,29 @@ def test_embed_cosine_label_cap(spark, tmp_path):
     pairs = vectorops.dd_embed_cosine(spark, str(tmp_path)).collect()
     got = {(r.doc_a, r.doc_b) for r in pairs}
     assert got == {(1000, 1001)}  # mega-label contributed nothing
+
+
+def test_round7_ops_two_parallelism_determinism(spark, registry):
+    """Every round-7 operator returns identical rows at 2 vs 32
+    shuffle partitions (the in-session N vs 4N proxy) — all were
+    designed with exact-integer evidence or within-row float math,
+    so no partition-order float summation exists to flip a digit."""
+    queries, _ = registry
+    names = [
+        "tx_substr_scrub", "ev_item_pagerank_weighted", "ev_hits",
+        "sk_kmv_intersect", "tx_collocations", "sk_dd_quantile",
+        "ann_multiprobe_lsh", "mm_image_metrics_int",
+        "tx_langid_trigram", "s11_jsonl_glob", "ev_holdout_lift",
+        "ev_basket_rules", "dd_verdict",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            got = {}
+            for parts in ("2", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                got[parts] = sorted(
+                    map(tuple, queries[name](spark, SF).collect()))
+            assert got["2"] == got["32"] and got["2"], name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
