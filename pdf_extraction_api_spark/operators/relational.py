@@ -1623,6 +1623,67 @@ ORDER BY pr_nano DESC, item ASC LIMIT {PR_TOPK}
 """
 
 
+def ev_degree_dist(spark, sf):
+    """Log-binned degree distribution of the co-click item graph —
+    the graph-health diagnostic read before any link-analysis run
+    (power-law degree tails are why [ev_item_pagerank] caps per-user
+    fan-out and [dd_containment] caps document frequency): bin =
+    bit-length of the item's neighbor count (the sk_dd_quantile
+    gamma-2 scheme), one row per occupied bin with its exact item
+    count. All-integer, constant output size (<= 64 bins) at any
+    corpus scale.
+
+    Scale shape: the capped pair join bounds edge volume; degree is
+    one map-side-combinable agg; the histogram is a second agg to
+    <= 64 rows. Nothing downstream of the degree agg ever sees more
+    than |items| rows."""
+    e = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ui = (e.filter(F.col("event_type") == "click")
+          .select("user_id", k.alias("item")).distinct())
+    w_cap = Window.partitionBy("user_id").orderBy("item")
+    ui = (ui.withColumn("rk", F.row_number().over(w_cap))
+          .filter(F.col("rk") <= PR_CAP).drop("rk"))
+    edges = (ui.alias("a").join(ui.alias("b"), "user_id")
+             .filter(F.col("a.item") != F.col("b.item"))
+             .select(F.col("a.item").alias("src"),
+                     F.col("b.item").alias("dst")).distinct())
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    b = F.length(F.conv(F.col("d").cast("string"), 10, 2)).cast("int")
+    return (deg.groupBy(b.alias("b"))
+            .agg(F.count("*").alias("n_items"))
+            .select(
+                "b",
+                F.expr("shiftleft(CAST(1 AS BIGINT), b - 1)").alias("lo"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), b) - 1").alias("hi"),
+                "n_items"))
+
+
+EV_DEGREE_SQL = f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'),
+ui AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item)
+             AS rk
+    FROM ui0) WHERE rk <= {PR_CAP}),
+edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM ui a JOIN ui b
+    ON a.user_id = b.user_id AND a.item <> b.item),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)
+SELECT CAST(length(bin(d)) AS INT) AS b,
+       (CAST(1 AS BIGINT) << (CAST(length(bin(d)) AS INT) - 1)) AS lo,
+       (CAST(1 AS BIGINT) << CAST(length(bin(d)) AS INT)) - 1 AS hi,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM deg GROUP BY length(bin(d))
+"""
+
+
 RULES_TOPK = 30
 RULES_MIN_CO = 2   # min co-click users for a rule (= PMI_MIN_CO)
 
@@ -2061,6 +2122,7 @@ QUERIES: dict[str, tuple] = {
     "ev_hits": (ev_hits, _hits_sql()),
     "ev_holdout_lift": (ev_holdout_lift, EV_HOLDOUT_SQL),
     "ev_basket_rules": (ev_basket_rules, EV_RULES_SQL),
+    "ev_degree_dist": (ev_degree_dist, EV_DEGREE_SQL),
     "ev_sessionize": (ev_sessionize, EV_SESSION_SQL),
     "ev_tumbling": (ev_tumbling, EV_TUMBLING_SQL),
     "ev_hopping": (ev_hopping, EV_HOPPING_SQL),

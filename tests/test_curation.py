@@ -1482,3 +1482,30 @@ def test_dd_verdict_precedence_and_first_wins(spark, tmp_path):
     assert got[3].verdict == "substr_dup"
     assert got[3].dup_frac == round(23 / 33, 6)
     assert got[4].verdict == "keep"
+
+
+def test_degree_dist_planted_star(spark, tmp_path):
+    """Degree histogram on a planted star graph: the hub (degree 5 →
+    bit-length bin 3, range [4,7]) and the five leaves (degree 1 →
+    bin 1, range [1,1]) land in exactly those bins with exact
+    counts."""
+    import datetime as dt
+    import json
+
+    from pdf_extraction_api_spark.operators.relational import (
+        ev_degree_dist,
+    )
+
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 1)
+    for u in range(5):                 # user u clicks hub 0 + leaf u+1
+        for item in (0, u + 1):
+            rows.append((eid, ts, u, "click", 1.0,
+                         json.dumps({"k": item}))); eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.b: (r.lo, r.hi, r.n_items)
+           for r in ev_degree_dist(spark, str(tmp_path)).collect()}
+    assert got == {1: (1, 1, 5), 3: (4, 7, 1)}
