@@ -216,8 +216,57 @@ FROM documents WHERE doc_id < {_N_FILES}
 """
 
 
+def s7_snapshot_timetravel(spark, sf):
+    """S7 registry surface: the atomic snapshot sink's TIME TRAVEL —
+    two committed appends (batch 1 = doc_id < 32, batch 2 = 32..63)
+    into a SnapshotCatalog table, then one read pinned at sequence 1
+    and one current read, summarized per view. Exercises the real
+    manifest protocol (atomic rename commits, idempotent run_ids —
+    re-running this query re-appends under the same run_ids and the
+    catalog no-ops) end to end; the oracle reconstructs both views
+    from the originating table. The fixture catalog is content-keyed
+    and bounded (64 rows), same convention as the glob-source
+    trees."""
+    from .catalog import SnapshotCatalog
+
+    docs = (T(spark, sf, "documents")
+            .filter(F.col("doc_id") < _N_FILES)
+            .select("doc_id", "n_chars"))
+    fp = _rows_fingerprint(docs.orderBy("doc_id").collect())
+    root = Path(tempfile.gettempdir()) / "spark_graft_snap" / fp
+    cat = SnapshotCatalog(str(root))
+    cat.append(docs.filter(F.col("doc_id") < _N_FILES // 2),
+               "docs", "b1")
+    cat.append(docs.filter(F.col("doc_id") >= _N_FILES // 2),
+               "docs", "b2")
+
+    def summarize(df, view):
+        return df.agg(
+            F.lit(view).alias("view"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("doc_id").alias("max_doc"))
+
+    v1 = summarize(cat.read(spark, "docs", as_of=1), "as_of_1")
+    v2 = summarize(cat.read(spark, "docs"), "current")
+    return v1.unionByName(v2)
+
+
+S7_SQL = f"""
+SELECT 'as_of_1' AS view, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents WHERE doc_id < {_N_FILES // 2}
+UNION ALL
+SELECT 'current', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT), CAST(max(doc_id) AS BIGINT)
+FROM documents WHERE doc_id < {_N_FILES}
+"""
+
+
 QUERIES = {
     "s6_binary_glob": (s6_binary_glob, S6_SQL),
     "s5_csv_glob": (s5_csv_glob, S5_SQL),
     "s11_jsonl_glob": (s11_jsonl_glob, S11_SQL),
+    "s7_snapshot_timetravel": (s7_snapshot_timetravel, S7_SQL),
 }
