@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -340,8 +341,144 @@ GROUP BY d.doc_id, d.clip_kind, d.nf
 """
 
 
+_FRAMESIG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("psum", LongType()),
+    StructField("pmom", LongType()),
+])
+
+
+def dd_video_frame_dup(spark, sf):
+    """Cross-video duplicate-FRAME detection — the frame-level dedup a
+    video training pipeline runs before frame extraction (stock
+    intros/outros and static cards repeat across clips): every
+    sampled frame gets an exact integer fingerprint (width, height,
+    pixel sum, x-weighted first moment — the moment breaks pure-
+    brightness collisions), a fingerprint seen in >= 2 DISTINCT clips
+    marks its frames duplicated, and each clip reports its duplicated
+    sampled-frame fraction (the [dd_substr_dup] report shape, one
+    modality over). The synthetic corpus contains REAL cross-clip
+    duplicates: static clips' frames depend only on (h, w), so clips
+    sharing the size cycle collide — the counts verify that.
+
+    Scale shape: Arrow-batched decode fan-out (same as
+    mm_video_frames), then ONE hash agg on the fingerprint — the
+    dd_exact plan with a decoded-feature key; no pair enumeration.
+    The fingerprint is exact integers end to end, so the DuckDB
+    oracle rebuilds it from the analytic clip model without running
+    the codec."""
+    clips = video_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel import avi as avic
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"].values,
+                                    pdf["avi"].values):
+                _fps, frames = avic.decode(bytes(blob))
+                for i in range(0, len(frames), SAMPLE_EVERY):
+                    f = frames[i].astype(np.int64)
+                    h, w = f.shape[0], f.shape[1]
+                    xw = np.arange(w, dtype=np.int64)[None, :, None]
+                    rows.append({
+                        "doc_id": int(doc_id), "frame_no": i,
+                        "w": w, "h": h,
+                        "psum": int(f.sum()),
+                        "pmom": int((xw * f).sum()),
+                    })
+            yield pd.DataFrame(rows)
+
+    fr = clips.mapInPandas(run, schema=_FRAMESIG_SCHEMA)
+    sig = ["w", "h", "psum", "pmom"]
+    dup = (fr.groupBy(*sig)
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select(*sig))
+    per_doc = fr.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"))
+    dup_per = (fr.join(dup, sig)
+               .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
+    return (per_doc.join(dup_per, "doc_id", "left")
+            .select(
+                "doc_id", "n_frames",
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup_frames"),
+                F.round(F.coalesce("n_dup", F.lit(0))
+                        / F.col("n_frames").cast("double"), 6)
+                .alias("dup_frac")))
+
+
+DD_VIDEO_FRAME_DUP_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN 'moving' ELSE 'static' END
+           AS clip_kind,
+         CAST(24 + (doc_id * 7) % 16 AS BIGINT) AS h,
+         CAST(32 + (doc_id * 11) % 16 AS BIGINT) AS w,
+         CAST(4 + doc_id % 5 AS BIGINT) AS nf
+  FROM documents),
+cols AS (
+  SELECT d.doc_id, x.x,
+         (x.x * 255) // (d.w - 1)
+           + ((x.x * 255) // (d.w - 1)) // 2
+           + ((x.x * 255) // (d.w - 1)) // 3 AS cs
+  FROM docs d, LATERAL (SELECT unnest(range(d.w)) AS x) x),
+colsums AS (
+  SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS cs_tot,
+         CAST(SUM(x * cs) AS BIGINT) AS xcs_tot
+  FROM cols GROUP BY doc_id),
+frames AS (
+  SELECT d.doc_id, d.clip_kind, d.h, d.w, f.f,
+         (f.f * 5) % (d.w - 8) AS x0
+  FROM docs d, LATERAL (SELECT unnest(range(0, d.nf, 2)) AS f) f),
+fadj AS (
+  SELECT fr.doc_id, fr.f,
+         CAST(8 * SUM(CASE WHEN fr.clip_kind = 'moving'
+                            AND c.x >= fr.x0 AND c.x < fr.x0 + 8
+                      THEN 255 - c.cs ELSE 0 END) AS BIGINT) AS sq,
+         CAST(8 * SUM(CASE WHEN fr.clip_kind = 'moving'
+                            AND c.x >= fr.x0 AND c.x < fr.x0 + 8
+                      THEN c.x * (255 - c.cs) ELSE 0 END) AS BIGINT)
+           AS sqm
+  FROM frames fr JOIN cols c ON c.doc_id = fr.doc_id
+  GROUP BY fr.doc_id, fr.f),
+sigs AS (
+  SELECT fr.doc_id, fr.f, fr.w, fr.h,
+         fr.h * cs.cs_tot + fa.sq AS psum,
+         fr.h * cs.xcs_tot + fa.sqm AS pmom
+  FROM frames fr
+  JOIN fadj fa ON fa.doc_id = fr.doc_id AND fa.f = fr.f
+  JOIN colsums cs ON cs.doc_id = fr.doc_id),
+dup AS (
+  SELECT w, h, psum, pmom FROM sigs
+  GROUP BY w, h, psum, pmom
+  HAVING count(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+  FROM sigs GROUP BY doc_id),
+dupd AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+  FROM sigs s JOIN dup d
+    ON d.w = s.w AND d.h = s.h
+   AND d.psum = s.psum AND d.pmom = s.pmom
+  GROUP BY s.doc_id)
+SELECT p.doc_id, p.n_frames,
+       CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_frames,
+       round(CAST(coalesce(dd.n_dup, 0) AS DOUBLE)
+             / CAST(p.n_frames AS DOUBLE), 6) AS dup_frac
+FROM per_doc p LEFT JOIN dupd dd ON dd.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),
     "mm_video_dims": (mm_video_dims, MM_VIDEO_DIMS_SQL),
     "mm_video_scenes": (mm_video_scenes, MM_VIDEO_SCENES_SQL),
+    "dd_video_frame_dup": (dd_video_frame_dup, DD_VIDEO_FRAME_DUP_SQL),
 }
