@@ -26,6 +26,7 @@ import wave
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -348,8 +349,116 @@ FROM documents
 """
 
 
+_ADUP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("audio_kind", StringType()),
+    StructField("n_samples", LongType()),
+    StructField("n_twins", LongType()),
+    StructField("is_dup", StringType()),   # 'true'/'false' hash-stable
+])
+
+
+def dd_audio_dup(spark, sf):
+    """Cross-clip duplicate-AUDIO detection — the audio leg of the
+    multimodal dedup family beside [dd_image_ahash] and
+    [dd_video_frame_dup] (real pipelines dedup silence padding and
+    re-uploaded stock audio before feature extraction): each decoded
+    clip gets an exact integer fingerprint (n_samples, PCM sum,
+    index-weighted PCM moment — the moment separates equal-energy
+    different-content clips), and a clip is a duplicate iff its
+    fingerprint appears in >= 2 distinct docs. The synthetic corpus
+    contains REAL collisions with known structure: silence clips of
+    equal length are identical, tone/chord clips repeat on the
+    (kind, length, freq) cycle (period 48), and noise clips NEVER
+    collide (their LCG is keyed on doc_id) — the test pins exactly
+    that.
+
+    Scale shape: Arrow-batched decode fan-out, then ONE hash agg on
+    the fingerprint (the dd_exact plan with a decoded-feature key);
+    no pair enumeration. All-integer fingerprints, so the DuckDB
+    oracle rebuilds the census from the analytic PCM model."""
+    wavs = audio_payloads(spark, sf)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                    pdf["doc_id"].values, pdf["audio_kind"].values,
+                    pdf["wav"].values):
+                pcm, _rate = decode_wav_pcm(bytes(blob))
+                p64 = pcm.astype(np.int64)
+                idx = np.arange(len(p64), dtype=np.int64)
+                rows.append({
+                    "doc_id": int(doc_id), "audio_kind": kind,
+                    "n_samples": len(p64),
+                    "psum": int(p64.sum()),
+                    "pmom": int((idx * p64).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("audio_kind", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("psum", LongType()),
+        StructField("pmom", LongType()),
+    ])
+    fr = wavs.mapInPandas(run, schema=schema)
+    sig = ["n_samples", "psum", "pmom"]
+    groups = fr.groupBy(*sig).agg(
+        F.count_distinct("doc_id").alias("n_twins"))
+    return (fr.join(groups, sig)
+            .select("doc_id", "audio_kind", "n_samples", "n_twins",
+                    F.when(F.col("n_twins") >= 2, "true")
+                    .otherwise("false").alias("is_dup")))
+
+
+DD_AUDIO_DUP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         ['tone', 'chord', 'noise', 'silence'][CAST(doc_id % 4 AS INT) + 1]
+           AS audio_kind,
+         CAST(floor({_RATE} * (0.1::DOUBLE + (doc_id % 6) * 0.05::DOUBLE))
+              AS BIGINT) AS n,
+         200.0 + (doc_id % 16) * 100.0 AS freq
+  FROM documents),
+pcm AS (
+  SELECT d.doc_id, d.audio_kind, d.n, i.i,
+         CAST(trunc(greatest(-1.0, least(1.0,
+           CASE d.audio_kind
+             WHEN 'tone' THEN
+               0.6 * sin((2 * pi() * d.freq) * (i.i / {_RATE}.0))
+             WHEN 'chord' THEN
+               0.4 * sin((2 * pi() * d.freq) * (i.i / {_RATE}.0))
+               + 0.3 * sin(((2 * pi() * d.freq) * 1.5) * (i.i / {_RATE}.0))
+             WHEN 'noise' THEN
+               (((1103515245 * ((d.doc_id * 1000003 + i.i) % 2147483648)
+                  + 12345) % 2147483648) / 2147483648.0 - 0.5) * 0.8
+             ELSE 0.0 END)) * 32767) AS BIGINT) AS p
+  FROM docs d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+sigs AS (
+  SELECT doc_id, audio_kind, n AS n_samples,
+         CAST(SUM(p) AS BIGINT) AS psum,
+         CAST(SUM(i * p) AS BIGINT) AS pmom
+  FROM pcm GROUP BY doc_id, audio_kind, n),
+groups AS (
+  SELECT n_samples, psum, pmom,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_twins
+  FROM sigs GROUP BY n_samples, psum, pmom)
+SELECT s.doc_id, s.audio_kind, s.n_samples, g.n_twins,
+       CASE WHEN g.n_twins >= 2 THEN 'true' ELSE 'false' END AS is_dup
+FROM sigs s JOIN groups g
+  ON g.n_samples = s.n_samples AND g.psum = s.psum
+ AND g.pmom = s.pmom
+"""
+
+
 QUERIES = {
     "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATS_SQL),
     "mm_audio_spectral": (mm_audio_spectral, None),
     "mm_audio_dims": (mm_audio_dims, MM_AUDIO_DIMS_SQL),
+    "dd_audio_dup": (dd_audio_dup, DD_AUDIO_DUP_SQL),
 }

@@ -71,3 +71,44 @@ def test_image_resize_properties(spark):
     th3 = resize(rgb, 16, 24)
     assert th3.shape == (16, 24, 3)
     assert (th3[:, :, 1] == 200).all() and (th3[:, :, 0] == 0).all()
+
+
+def test_audio_dup_structure(spark):
+    """dd_audio_dup recovers the synthesis collision structure on the
+    real corpus: noise clips NEVER collide (their LCG is keyed on
+    doc_id), while at 500 docs every tone/chord/silence clip has a
+    period-48 (or shorter, for silence) twin — so is_dup is exactly
+    (kind != 'noise'); and an exact Python replay of the fingerprint
+    census matches every row."""
+    import numpy as np
+
+    from pdf_extraction_api_spark.operators.audioops import (
+        dd_audio_dup,
+        decode_wav_pcm,
+        synth_wav,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    doc_ids = [r.doc_id for r in spark.read.parquet(
+        f"{sf}/documents.parquet").select("doc_id").collect()]
+
+    owners = {}
+    sig_by_doc = {}
+    for d in doc_ids:
+        _kind, blob = synth_wav(int(d))
+        pcm, _ = decode_wav_pcm(blob)
+        p = pcm.astype(np.int64)
+        idx = np.arange(len(p), dtype=np.int64)
+        sig = (len(p), int(p.sum()), int((idx * p).sum()))
+        sig_by_doc[d] = sig
+        owners.setdefault(sig, set()).add(d)
+
+    got = {r.doc_id: (r.audio_kind, r.n_samples, r.n_twins, r.is_dup)
+           for r in dd_audio_dup(spark, sf).collect()}
+    assert set(got) == set(doc_ids)
+    for d, (kind, n, n_twins, is_dup) in got.items():
+        sig = sig_by_doc[d]
+        assert n == sig[0]
+        assert n_twins == len(owners[sig])
+        assert is_dup == ("true" if len(owners[sig]) >= 2 else "false")
+        assert (is_dup == "true") == (kind != "noise"), (d, kind)
