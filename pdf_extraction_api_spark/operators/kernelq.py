@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.extract import run_extraction
-from .relational import T
+from .relational import T, spread
 
 
 def pages_from_documents(spark: SparkSession, sf: str,
@@ -27,8 +27,14 @@ def pages_from_documents(spark: SparkSession, sf: str,
     reconstruct kernel output assuming exactly this nav + paragraph +
     2-column-table markup), so it lives here ONCE; callers that need a
     different url shape pass a Column via `url` (default: the doc_id
-    as a string)."""
-    d = T(spark, sf, "documents")
+    as a string).
+
+    The scan is `spread` (r8): the documents table arrives as ONE
+    row-group, so the whole Python kernel fan-out otherwise runs on a
+    single task — the repartition moves the few-MB text column once
+    and buys cores-wide kernel parallelism (no-op at production scan
+    widths; same rationale as image_payloads' id repartition)."""
+    d = spread(T(spark, sf, "documents"), "doc_id")
     html = F.concat(
         F.lit('<body><nav><a href="/">Home</a></nav><p>'),
         F.col("text"),

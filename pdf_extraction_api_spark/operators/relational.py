@@ -19,6 +19,34 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, *key: str) -> DataFrame:
+    """Hash-repartition a CPU-heavy relation across the session's
+    cores when its scan arrives with fewer splits than the machine has
+    workers (guide §2.5 input-skew rule: a small/single-row-group
+    parquet file is unsplittable below the row-group, so every
+    downstream map-side compute — tokenize/shingle/minhash, the
+    extraction kernel, HOF vector math — serializes onto one task no
+    matter how many cores exist).
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's defaultParallelism and the repartition only fires when
+    the scan has FEWER partitions than that — at production scale a
+    100 TB table scans as >> cores splits and this is a no-op (the
+    byte-sized scan splits are already the right balancing unit, and
+    shuffling the payload to "re-balance" it would be pure cost —
+    plans/extract.py's no-pre-kernel-shuffle note). ×4 partitions per
+    core bounds the straggler tail the same way bench.py's WAVES
+    sizing does; the hash key (unique id) is deterministic, so task
+    retries can't duplicate rows (guide §2.5 rand-key warning), and
+    keyed hash partitioning skips round-robin's sort-before-repartition
+    pass over the payload."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores * 4, *[F.col(k) for k in key])
+
+
 # --------------------------------------------------------------- filters
 def f1_min_size(spark, sf):
     """F1 min-size filter (two-sided predicate; ref image w>=100&h>=100)."""
