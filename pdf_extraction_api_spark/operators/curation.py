@@ -1652,22 +1652,23 @@ def dd_verdict(spark, sf):
     keeper of every duplicate group along with its copies). Count
     evidence rides along for every rule.
 
-    Scale shape: three map-side-combinable hash aggs (md5 groups,
-    per-doc band minima in ONE agg, window-hash counts) + broadcast-
+    Scale shape: two map-side-combinable hash aggs (md5 groups,
+    window-hash counts) + per-doc band minima computed as pure
+    map-side array minima (r8, no agg at all) + broadcast-
     able verdict joins — no pair enumeration anywhere; the signature-
     identical rule trades recall for a strictly-bounded plan (the
     pairwise recall path is dd_minhash_lsh → dd_components)."""
-    from .textops import N_BANDS, _shingles
+    from .textops import N_BANDS, _band_min, _shingle_arrays
 
     d = T(spark, sf, "documents")
     exact = (d.groupBy(F.md5("text").alias("h"))
              .agg(F.min("doc_id").alias("e_keeper"),
                   F.count("*").alias("e_n")))
     ex = d.select("doc_id", F.md5("text").alias("h")).join(exact, "h")
-    sh = _shingles(spark, sf)
-    sigs = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws(":", F.lit(str(b)), "shingle")))
-        .alias(f"s{b}") for b in range(N_BANDS)])
+    # per-doc band minima map-side over the shingle array (r8 — was an
+    # explode + min-over-string SortAggregate; values bit-identical)
+    sigs = _shingle_arrays(spark, sf).select(
+        "doc_id", *[_band_min(b).alias(f"s{b}") for b in range(N_BANDS)])
     fullsig = sigs.select(
         "doc_id",
         F.concat_ws("|", *[f"s{b}" for b in range(N_BANDS)]).alias("fs"))

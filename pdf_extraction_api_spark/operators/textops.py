@@ -48,7 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .relational import T
+from .relational import T, spread
 
 N_BANDS = 4
 SHINGLE = 3
@@ -86,21 +86,25 @@ FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
 """
 
 
-def _shingles(spark, sf) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-token shingles.
+def _shingle_arrays(spark, sf) -> DataFrame:
+    """(doc_id, shs array<string>) — each doc's distinct 3-token
+    shingles as ONE array column, never exploded (r8): per-doc set
+    semantics need no global distinct, and keeping the set as an array
+    lets the minhash band minima be computed map-side with array
+    higher-order functions instead of explode → aggregate (the
+    min-over-md5-string aggregate is a SortAggregate — string minima
+    have no mutable agg buffer — so the old shape sorted the entire
+    corpus-shingle relation through an Exchange per query side).
 
-    Fully map-side: the shingle array is built with a transform over
-    the token array and de-duplicated per doc with array_distinct
-    BEFORE the explode — per-doc set semantics need no global
-    distinct, so this stage contributes ZERO shuffles (the old
-    .distinct() pushed the entire exploded shingle set through an
-    Exchange first).
-    """
-    d = T(spark, sf, "documents")
-    # materialize the token array as a COLUMN before the explode —
+    The documents scan is `spread` (guide §2.5): single-row-group
+    input otherwise serializes the tokenize+md5 work onto one task."""
+    d = spread(T(spark, sf, "documents"), "doc_id")
+    # materialize the token array as a COLUMN before the next select —
     # inlining the filter(split(...)) expression into the transform
     # lambda makes Catalyst re-evaluate it per element (no CSE across
-    # lambda captures in Generate): measured 5x slowdown.
+    # lambda captures): measured 5x slowdown. CollapseProject keeps
+    # the tiers separate because the aliases are non-cheap and
+    # multiply referenced.
     toked = d.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
@@ -115,8 +119,16 @@ def _shingles(spark, sf) -> DataFrame:
             F.element_at(toks, i + 3),
         ),
     )
-    return toked.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return toked.select("doc_id", F.array_distinct(sh).alias("shs"))
+
+
+def _shingles(spark, sf) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-token shingles, the exploded view
+    of [_shingle_arrays] for consumers that join on the shingle value
+    (dd_ngram_jaccard, dd_containment). Still zero shuffles before the
+    explode."""
+    return _shingle_arrays(spark, sf).select(
+        "doc_id", F.explode("shs").alias("shingle"))
 
 
 _SHINGLES_SQL = f"""
@@ -149,17 +161,26 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _band_keys(sh: DataFrame) -> DataFrame:
+def _band_min(b: int):
+    """min over md5(band:shingle) of one band, computed map-side over
+    the `shs` array column. array_min's string ordering is the same
+    binary UTF8 comparison as the min() aggregate, so the signature is
+    bit-identical to the old explode → min-agg form — without the
+    SortAggregate (min-over-string has no mutable agg buffer) or the
+    Exchange it forced."""
+    return F.array_min(F.transform(
+        F.col("shs"),
+        lambda s: F.md5(F.concat_ws(":", F.lit(str(b)), s))))
+
+
+def _band_keys(sha: DataFrame) -> DataFrame:
     """(doc_id, key) — one LSH band key per (doc, band) over a
-    (doc_id, shingle) relation: key = band|min(md5(band:shingle)).
-    All band minima come from ONE map-side-combinable hash agg (no
-    ×bands row blowup pre-shuffle)."""
-    sigs_wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws(":", F.lit(str(b)), "shingle"))).alias(
-                f"s{b}")
-            for b in range(N_BANDS)
-        ]
+    (doc_id, shs) shingle-ARRAY relation: key = band|min(md5(band:
+    shingle)). All band minima are pure map-side projections (r8 —
+    previously one explode + SortAggregate + Exchange per consumer);
+    the ×bands row blowup happens only after the per-doc reduction."""
+    sigs_wide = sha.select(
+        "doc_id", *[_band_min(b).alias(f"s{b}") for b in range(N_BANDS)]
     )
     return sigs_wide.select(
         "doc_id",
@@ -179,15 +200,28 @@ def capped_bucket_pairs(df: DataFrame, key: str, id_col: str,
     same-key buckets of 2..cap members — the shared LSH candidate
     shape (dd_minhash_lsh here, dd_embed_lsh in vectorops).
 
-    Shape: hash-agg bucket counts → semi-join the surviving keys
-    (Exchange on `key` is reused between the two aggs) → per-key
-    collect_list bounded by the cap (never a mega-array: oversized
-    keys are already gone) → MAP-SIDE pair expansion from the sorted
-    id array. No window sort, no self-join — measured 3.7x faster
-    than the windowed-count + self-join variant at sf0.1 and strictly
-    bounded memory per key at 100 TB."""
+    Shape: ONE explicit hash Exchange on `key` shared by both
+    consumers (the bucket-count agg and the probe side — identical
+    exchange subtrees, so ReuseExchange/AQE stage reuse evaluates the
+    signature pipeline ONCE; before r8 the full upstream sig
+    computation ran twice, once per consumer) → hash-agg bucket
+    counts → semi-join the surviving keys → per-key collect_list
+    bounded by the cap (never a mega-array: oversized keys are
+    already gone) → MAP-SIDE pair expansion from the sorted id array.
+    No window sort, no self-join — measured 3.7x faster than the
+    windowed-count + self-join variant at sf0.1 and strictly bounded
+    memory per key at 100 TB. The explicit partition count pins the
+    heavy downstream stages at the session's parallelism (AQE's
+    bytes-based coalescing would squeeze these CPU-bound, small-byte
+    stages onto a couple of tasks)."""
+    spark = df.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "0") or 0),
+    )
     keyed = df.select(F.col(key).alias("key"),
-                      F.col(id_col).alias("_id"))
+                      F.col(id_col).alias("_id")).repartition(
+        n_parts, F.col("key"))
     keep = (
         keyed.groupBy("key").count()
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
@@ -243,7 +277,7 @@ def dd_minhash_salted(spark, sf):
     oracle's sf no bucket exceeds the cap, so results equal
     dd_minhash_lsh there; the mega-bucket recall property is
     unit-tested with a 1k near-identical corpus."""
-    sigs = _band_keys(_shingles(spark, sf))
+    sigs = _band_keys(_shingle_arrays(spark, sf))
     return (salted_bucket_pairs(sigs, "key", "doc_id", LSH_BUCKET_CAP)
             .select("doc_a", "doc_b").distinct())
 
@@ -283,8 +317,11 @@ def dd_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs: docs sharing any band signature are
     candidates. Buckets larger than LSH_BUCKET_CAP are dropped (a viral
     boilerplate signature would otherwise emit |bucket|² pairs); see
-    capped_bucket_pairs for the plan shape."""
-    sigs = _band_keys(_shingles(spark, sf))
+    capped_bucket_pairs for the plan shape. r8: band signatures are
+    map-side array minima over [_shingle_arrays] — the corpus-shingle
+    explode, its SortAggregate and the pre-bucket Exchange are gone,
+    and the documents scan is spread across cores."""
+    sigs = _band_keys(_shingle_arrays(spark, sf))
     return (capped_bucket_pairs(sigs, "key", "doc_id", LSH_BUCKET_CAP)
             .select("doc_a", "doc_b").distinct())
 
@@ -446,24 +483,25 @@ WITH RECURSIVE {_KEEP_CTES_SQL}
 
 def dd_minhash_num(spark, sf):
     """Numeric MinHash band signatures: the same md5 minhash projected
-    to BIGINT (first 15 hex digits, 60 bits) so the per-band min is a
-    HashAggregate, not the SortAggregate that min-over-string forces.
-    This is the scale path; dd_minhash_lsh's string variant stays as
-    the cross-checked candidate generator."""
-    sh = _shingles(spark, sf)
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(
-                            ":", F.lit(str(b)), "shingle")), 1, 15),
-                    16, 10,
-                ).cast("long")
-            ).alias(f"sig{b}")
-            for b in range(N_BANDS)
-        ]
-    )
+    to BIGINT (first 15 hex digits, 60 bits). r8: computed map-side
+    with array_min over the per-doc shingle array — no explode, no
+    aggregate, no Exchange at all (the pre-r8 shape was explode +
+    HashAggregate; the array form subsumes it for strings AND
+    numerics, so this stays the scale path and dd_minhash_lsh's
+    string variant stays the cross-checked candidate generator)."""
+    sha = _shingle_arrays(spark, sf)
+
+    def sig(b):
+        return F.array_min(F.transform(
+            F.col("shs"),
+            lambda s: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(b)), s)), 1, 15),
+                16, 10,
+            ).cast("long")))
+
+    return sha.select(
+        "doc_id", *[sig(b).alias(f"sig{b}") for b in range(N_BANDS)])
 
 
 DD_MINHASH_NUM_SQL = f"""
@@ -489,17 +527,22 @@ def dd_ngram_jaccard(spark, sf):
     plus both verification sides — instead of re-tokenizing the
     corpus 3× (round-2 verdict residual #2). At real scale the same
     seam is a snapshot/temp-table write; the persist is the local
-    analog and spills if the shingle set outgrows executor memory."""
+    analog and spills if the shingle set outgrows executor memory.
+    r8: the persisted form is the per-doc shingle ARRAY (same bytes,
+    50k rows instead of ~10M) — band keys and set sizes derive
+    map-side from it, and only the two verification sides explode."""
     from pyspark import StorageLevel
 
-    sh = _shingles(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    sha = _shingle_arrays(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
-        capped_bucket_pairs(_band_keys(sh), "key", "doc_id",
+        capped_bucket_pairs(_band_keys(sha), "key", "doc_id",
                             LSH_BUCKET_CAP)
         .select("doc_a", "doc_b").distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = sha.select("doc_id", F.size("shs").alias("n"))
+    a = sha.select(F.col("doc_id").alias("doc_a"),
+                   F.explode("shs").alias("shingle"))
+    b = sha.select(F.col("doc_id").alias("doc_b"),
+                   F.explode("shs").alias("shingle"))
     inter = (
         cand.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
@@ -554,8 +597,9 @@ def dd_simhash(spark, sf):
     semantics are per doc), so the only shuffle is the final
     groupBy(doc_id) of 16 combinable sums — the old relational
     .distinct() pushed every (doc, token-hash) row through an
-    Exchange first."""
-    d = T(spark, sf, "documents")
+    Exchange first. The scan is spread (r8): single-row-group input
+    otherwise runs the tokenize+md5+votes map work on one task."""
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toks = d.select(
         "doc_id",
         F.explode(
@@ -651,8 +695,10 @@ GROUP BY label
 
 def tx_quality(spark, sf):
     """Text quality: mean token length, stopword ratio, alpha ratio →
-    weighted score (the corpus-filtering primitive)."""
-    d = T(spark, sf, "documents")
+    weighted score (the corpus-filtering primitive). Scan spread (r8):
+    the tokenize-heavy projection otherwise runs on one task over the
+    single-row-group input."""
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     n_tok = F.size(toks)
     mean_len = F.length(F.regexp_replace("text", r"\s+", "")) / n_tok
@@ -1348,7 +1394,7 @@ def dd_incremental(spark, sf):
     d = T(spark, sf, "documents")
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     hist_hashes = d.filter(~is_new).select(F.md5("text").alias("h"))
-    hist_sigs = _band_keys(_shingles(spark, sf)).filter(
+    hist_sigs = _band_keys(_shingle_arrays(spark, sf)).filter(
         F.col("doc_id") % NEW_BATCH_MOD != 0)
     return incremental_verdicts(d.filter(is_new), hist_hashes, hist_sigs)
 
@@ -1383,9 +1429,9 @@ def incremental_verdicts(new_docs: DataFrame,
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
             F.element_at(toks, i + 3)),
     )
-    new_sh = toked.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-    new_s = _band_keys(new_sh)
+    new_sha = toked.select(
+        "doc_id", F.array_distinct(sh).alias("shs"))
+    new_s = _band_keys(new_sha)
     near = (
         hist_sigs.select("key").join(F.broadcast(new_s), "key")
         .select("doc_id").distinct()
