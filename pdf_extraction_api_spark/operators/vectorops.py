@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .relational import T
+from .relational import T, spread
 
 K = 3
 N_QUERIES = 5
@@ -32,6 +32,16 @@ SIM_THRESHOLD = 0.2
 # method; tests/test_ann_recall.py shows recall >= 0.9 on clusterable
 # data with the same operator.
 N_PROBE = 3
+
+
+# NOTE (r8 dead end, measured): unrolling the 64-dim dot product into
+# a static element_at(...) + ... expression chain is 3x SLOWER than the
+# aggregate(zip_with(...)) HOF fold (3.3s vs 1.05s for ann_topk_brute
+# at sf1.0) — the giant expression tree defeats codegen and pays
+# per-element bounds/null checks, while the HOF loop is one tight
+# interpreted fold. The HOF spelling stays; the r8 win here is
+# `spread` on the embeddings scan (single-row-group input serialized
+# all vector math onto one task).
 
 
 def _with_norm(df: DataFrame, vec: str, prefix: str) -> DataFrame:
@@ -69,7 +79,7 @@ def ann_topk_brute(spark, sf):
     `ann_ivf_kmeans` are the scale path (broadcast centroids +
     N_PROBE partition pruning). The plan-lint passes it only because
     the bounded build side keeps Spark off CartesianProduct."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
     c = _with_norm(e, "embedding", "c")
     scored = (
@@ -111,7 +121,7 @@ WHERE rank <= {K}
 
 def ann_ivf_label(spark, sf):
     """IVF-style: probe only the query's own cluster (label)."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
     c = _with_norm(e, "embedding", "c")
     scored = (
@@ -168,7 +178,7 @@ def dd_embed_cosine(spark, sf):
     need no metadata alignment). The oracle applies the same cap."""
     from .textops import capped_bucket_pairs
 
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     cand = capped_bucket_pairs(
         e.select("label", "vec_id"), "label", "vec_id", LABEL_BLOCK_CAP
     ).select("doc_a", "doc_b")
@@ -255,7 +265,7 @@ def ann_ivf_probe(spark, sf):
     co-partitioned by centroid id, and the probe is a partition-pruned
     equi join scanning N_PROBE/n_clusters of the corpus — the
     brute-force cross join never happens."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     cent = _label_centroids(e, _dim_of(e))
     q = _with_norm(e.filter(F.col("vec_id") < N_QUERIES), "embedding", "q")
     # assign: nearest centroid by cosine (argmax over broadcast table)
@@ -440,7 +450,7 @@ def ann_ivf_kmeans(spark, sf):
     (values bit-identical, ~2x warm at sf0.1 — PLANS.md), and the
     candidate side reads (vector, norm) straight off the checkpointed
     final assignment — the `_with_norm(e) ⋈ final` join is gone."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     dim = _dim_of(e)
     final, cent = kmeans_cells(e, dim)
 
@@ -584,7 +594,9 @@ def _hyperplanes() -> list[list[int]]:
 
 def _sig_col():
     """Hyperplane sign-bit signature as a Column (shared by
-    dd_embed_lsh and dd_incremental_embed)."""
+    dd_embed_lsh and dd_incremental_embed). Stays on the
+    aggregate(zip_with(...)) fold — the static unrolled-sum variant
+    measured 3x slower (see the dead-end note above _with_norm)."""
     planes = _hyperplanes()
     bits = [
         F.when(
@@ -619,7 +631,7 @@ def dd_embed_lsh(spark, sf):
     dd_embed_cosine's label blocking it needs no metadata to align
     with the vector space; at 100 TB the bucket groupBy replaces the
     all-pairs join (collision probability (1-θ/π)^N_PLANES)."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     from .textops import capped_bucket_pairs
 
     signed = e.select("vec_id", "embedding", _sig_col().alias("sig"))
@@ -690,7 +702,7 @@ def ann_multiprobe_lsh(spark, sf):
     dd_embed_lsh (a viral bucket would hand every query its full
     size); the final top-K window partitions by query over the
     capped candidate set only."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     signed = e.select("vec_id", "embedding", _sig_col().alias("sig"))
     sizes = (signed.groupBy("sig")
              .agg(F.count("*").alias("bn"))
@@ -793,7 +805,7 @@ def dd_incremental_embed(spark, sf):
     Exact cosine runs only on collision rows, and the best-match pick
     is a struct-max aggregate ((cos, -hid) — the kmeans argmax
     trick), not a window."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     signed = e.select("vec_id", "embedding", _sig_col().alias("sig"))
     is_new = F.col("vec_id") % NEW_VEC_MOD == 0
 
@@ -892,7 +904,7 @@ def vec_pca_power(spark, sf):
     centered corpus would be persisted once and scanned T+2 times."""
     import math
 
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     dim = _dim_of(e)
     mu = e.agg(*[
         F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 9)
@@ -1000,7 +1012,7 @@ def ann_sq8_rerank(spark, sf):
     order. At production scale the code table is written bucketed by
     IVF cell (compose with kmeans_cells) so the approx scan is also
     partition-pruned; here the flat scan keeps the oracle exact."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     dim = _dim_of(e)
     rng = e.agg(*(
         [F.min(F.element_at("embedding", i + 1).cast("double"))
@@ -1160,7 +1172,7 @@ def vec_rp_project(spark, sf):
     the dot product is the ordered zip_with/aggregate double fold
     (`_cosine` convention, which list_dot_product reproduces at the
     4-dp rounding)."""
-    e = T(spark, sf, "embeddings")
+    e = spread(T(spark, sf, "embeddings"), "vec_id")
     j = F.col("id").cast("string")
     sign = lambda i: F.when(  # noqa: E731
         F.conv(F.substring(
