@@ -253,15 +253,25 @@ def estimate_lines(arr) -> tuple[int, int]:
     return rows, cols
 
 
-def enhance(arr, kind: str):
+def enhance(arr, kind: str, _gmean: float | None = None):
     """N4 type-conditional enhancement (numpy analog of PIL
     ImageEnhance: contrast pivots on the gray mean, sharpness blends
-    against the blurred image, brightness scales)."""
+    against the blurred image, brightness scales). `_gmean` optionally
+    passes the already-computed gray mean of the UNMODIFIED image
+    (r8, fused_report): the first _gray_mean call is always on the
+    pristine float copy, where float(_to_gray(a.astype(uint8)).mean())
+    equals the caller's float(gray.mean()) exactly (the float64
+    round-trip of a uint8 image is lossless)."""
     import numpy as np
 
     img = arr.astype(np.float64)
 
+    # every _gray_mean call site below runs BEFORE img is modified
+    # (contrast pivot and the photograph branch), so the precomputed
+    # mean is always valid when supplied
     def _gray_mean(a):
+        if _gmean is not None:
+            return _gmean
         return float(_to_gray(a.astype(np.uint8)).mean())
 
     def _contrast(a, f):
@@ -327,59 +337,114 @@ _METRICS_SCHEMA = StructType([
 ])
 
 
+def fused_report(doc_id: int, kind: str, arr, blob: bytes) -> dict:
+    """The mm_image_metrics row for one image, with the shared
+    intermediates computed ONCE (r8): gray, the |FIND_EDGES|
+    convolution, and gray mean/std each previously recomputed inside
+    compute_metrics / estimate_lines / ocr_stub / enhance (4x gray,
+    2x the edge conv). Pure algebraic refactor — every value is the
+    identical float op sequence on the identical arrays, pinned by
+    test_fused_report_matches_unfused."""
+    import hashlib
+
+    import numpy as np
+
+    gray = _to_gray(arr)
+    h, w = gray.shape
+    pixels = h * w
+    if pixels >= 1920 * 1080:
+        resolution = 1.0
+    elif pixels >= 1280 * 720:
+        resolution = 0.8
+    elif pixels >= 640 * 480:
+        resolution = 0.6
+    elif pixels >= 320 * 240:
+        resolution = 0.4
+    else:
+        resolution = 0.2
+    lap = _conv3(gray, _LAPLACIAN)
+    sharpness = min(float(lap.var()) / 1000.0, 1.0)
+    gstd = float(gray.std())
+    gmean = float(gray.mean())
+    contrast = min(gstd / 127.5, 1.0)
+    brightness = 1.0 - abs(gmean - 127.5) / 127.5
+    noise_level = float(np.abs(gray - _blur5(gray)).mean())
+    noise = max(1.0 - noise_level / 50.0, 0.0)
+    quality = (0.3 * resolution + 0.2 * sharpness + 0.2 * contrast
+               + 0.2 * brightness + 0.1 * noise)
+    edges_abs = np.abs(_conv3(gray, _FIND_EDGES))
+    edge_density = float(edges_abs.clip(0, 255).mean()) / 255.0
+    if edges_abs.size <= 1:
+        er = ec = 0
+    else:
+        act = edges_abs > 64
+        er = int(((act.mean(axis=1) >= 0.6)).sum())
+        ec = int(((act.mean(axis=0) >= 0.6)).sum())
+    enh = pngc_encode(enhance(arr, kind, _gmean=gmean))
+    return {
+        "doc_id": int(doc_id), "img_kind": kind,
+        "width": w, "height": h,
+        "quality_score": round(quality, 6),
+        "sharpness": round(sharpness, 6),
+        "contrast": round(contrast, 6),
+        "brightness": round(brightness, 6),
+        "noise": round(noise, 6),
+        "edge_density": round(edge_density, 6),
+        "est_rows": er, "est_cols": ec,
+        "has_text": "true" if (f"{kind} text" if gstd > 30 else "")
+        else "false",
+        "orig_md5": hashlib.md5(blob).hexdigest(),
+        "enhanced_md5": hashlib.md5(enh).hexdigest(),
+        "changed": "true" if enh != blob else "false",
+    }
+
+
+def pngc_encode(arr) -> bytes:
+    from ..kernel import png as pngc
+
+    return pngc.encode(arr)
+
+
 def mm_image_metrics(spark, sf):
-    """N1-N5 over real PNGs in ONE decode pass: metrics (N1), edge
-    density (N2), line estimation (N3), type-conditional enhancement
-    digests (N4) and the OCR flag (N5). Merged with the former
-    mm_image_enhance in round 4: both analyses consume the same
-    decoded array, so two registry rows meant decoding every PNG
-    twice — one fused Arrow pass halves the Python-side codec work
-    (the dominant cost at any scale).
+    """N1-N5 over real PNGs in ONE fused Python pass: metrics (N1),
+    edge density (N2), line estimation (N3), type-conditional
+    enhancement digests (N4) and the OCR flag (N5). Round 4 merged
+    the analyses into one decode; r8 fuses the GENERATION stage in as
+    well — the corpus PNG is encoded and analyzed inside the same
+    task, so the blob never crosses the Python→JVM→Python boundary
+    between two mapInPandas stages and the decode disappears outright
+    (the stdlib codec is lossless, so decode(encode(a)) == a —
+    pinned by test_png_roundtrip_identity and the mm_image_dims
+    oracle). Shared gray/edge intermediates: see fused_report.
 
     Rows-only for the driver: the convolution/variance float pipeline
     (Laplacian, Gaussian blur, FIND_EDGES) isn't reconstructable in
     SQL at tolerable cost. Value properties are pytest-checked
     against independently-computed statistics (tests/test_imageops.py)
-    and the decode round-trip itself is hash-oracled by
-    mm_image_dims; enhancement rules are value-tested in
-    test_enhance_changes_charts_not_flat_photos."""
-    imgs = image_payloads(spark, sf)
+    and fused ⇔ unfused row equality is pinned by
+    test_fused_report_matches_unfused."""
+    # one partition per core: x4 wave-smoothing was A/B'd and lost
+    # (3.97s vs 3.17s at sf1.0) — each extra mapInPandas task pays an
+    # Arrow-stream + worker handshake that outweighs the straggler
+    # tail at these image sizes
+    ids = (T(spark, sf, "documents").select("doc_id")
+           .repartition(spark.sparkContext.defaultParallelism,
+                        F.col("doc_id")))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
         import pandas as pd
 
         from ..kernel import png as pngc
 
         for pdf in batches:
             rows = []
-            for doc_id, kind, blob in zip(
-                    pdf["doc_id"].values, pdf["img_kind"].values,
-                    pdf["png"].values):
-                blob = bytes(blob)
-                arr = pngc.decode(blob)
-                m = compute_metrics(arr)
-                er, ec = estimate_lines(arr)
-                enh = pngc.encode(enhance(arr, kind))
-                rows.append({
-                    "doc_id": int(doc_id), "img_kind": kind,
-                    "width": m["width"], "height": m["height"],
-                    "quality_score": round(m["quality_score"], 6),
-                    "sharpness": round(m["sharpness"], 6),
-                    "contrast": round(m["contrast"], 6),
-                    "brightness": round(m["brightness"], 6),
-                    "noise": round(m["noise"], 6),
-                    "edge_density": round(m["edge_density"], 6),
-                    "est_rows": er, "est_cols": ec,
-                    "has_text": "true" if ocr_stub(arr, kind) else "false",
-                    "orig_md5": hashlib.md5(blob).hexdigest(),
-                    "enhanced_md5": hashlib.md5(enh).hexdigest(),
-                    "changed": "true" if enh != blob else "false",
-                })
+            for doc_id in pdf["doc_id"].values:
+                kind, arr = _gen_image(int(doc_id))
+                blob = pngc.encode(arr)
+                rows.append(fused_report(int(doc_id), kind, arr, blob))
             yield pd.DataFrame(rows)
 
-    return imgs.mapInPandas(run, schema=_METRICS_SCHEMA)
+    return ids.mapInPandas(run, schema=_METRICS_SCHEMA)
 
 
 def resize(arr, out_h: int, out_w: int):

@@ -19,6 +19,9 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+SPREAD_MULT = 1  # partitions per core; A/B'd per consumer below
+
+
 def spread(df: DataFrame, *key: str) -> DataFrame:
     """Hash-repartition a CPU-heavy relation across the session's
     cores when its scan arrives with fewer splits than the machine has
@@ -34,17 +37,20 @@ def spread(df: DataFrame, *key: str) -> DataFrame:
     100 TB table scans as >> cores splits and this is a no-op (the
     byte-sized scan splits are already the right balancing unit, and
     shuffling the payload to "re-balance" it would be pure cost —
-    plans/extract.py's no-pre-kernel-shuffle note). ×4 partitions per
-    core bounds the straggler tail the same way bench.py's WAVES
-    sizing does; the hash key (unique id) is deterministic, so task
-    retries can't duplicate rows (guide §2.5 rand-key warning), and
-    keyed hash partitioning skips round-robin's sort-before-repartition
-    pass over the payload."""
+    plans/extract.py's no-pre-kernel-shuffle note). One partition per
+    core: wave-smoothing multipliers (x4) were A/B'd and LOST on the
+    Python-heavy consumers (ex4 1.56s vs 1.10s, mm_image_metrics
+    3.97s vs 3.17s at sf1.0) — every extra mapInPandas/mapInArrow
+    task pays an Arrow-stream + worker handshake that outweighs the
+    straggler tail. The hash key (unique id) is deterministic, so
+    task retries can't duplicate rows (guide §2.5 rand-key warning),
+    and keyed hash partitioning skips round-robin's
+    sort-before-repartition pass over the payload."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= cores:
         return df
-    return df.repartition(cores * 4, *[F.col(k) for k in key])
+    return df.repartition(cores * SPREAD_MULT, *[F.col(k) for k in key])
 
 
 # --------------------------------------------------------------- filters

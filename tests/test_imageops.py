@@ -189,3 +189,41 @@ def test_image_ahash_matches_direct_numpy(spark):
         bn = np.bincount(bid, minlength=64)
         sig = "".join(np.where(bs * tn > ts * bn, "1", "0"))
         assert sig in sigs, doc_id
+
+
+def test_fused_report_matches_unfused():
+    """r8 plan fusion guard: fused_report (shared gray/edge
+    intermediates, decode skipped) must produce the EXACT row the
+    pre-r8 pipeline produced — decode(blob), then compute_metrics +
+    estimate_lines + ocr_stub + enhance, each recomputing its own
+    intermediates. Exercises all five kinds x gray/RGB."""
+    import hashlib
+
+    from pdf_extraction_api_spark.operators.imageops import (
+        fused_report,
+        ocr_stub,
+    )
+
+    for doc_id in range(20):
+        kind, arr = _gen_image(doc_id)
+        blob = pngc.encode(arr)
+        dec = pngc.decode(blob)
+        m = compute_metrics(dec)
+        er, ec = estimate_lines(dec)
+        enh = pngc.encode(enhance(dec, kind))
+        expected = {
+            "doc_id": doc_id, "img_kind": kind,
+            "width": m["width"], "height": m["height"],
+            "quality_score": round(m["quality_score"], 6),
+            "sharpness": round(m["sharpness"], 6),
+            "contrast": round(m["contrast"], 6),
+            "brightness": round(m["brightness"], 6),
+            "noise": round(m["noise"], 6),
+            "edge_density": round(m["edge_density"], 6),
+            "est_rows": er, "est_cols": ec,
+            "has_text": "true" if ocr_stub(dec, kind) else "false",
+            "orig_md5": hashlib.md5(blob).hexdigest(),
+            "enhanced_md5": hashlib.md5(enh).hexdigest(),
+            "changed": "true" if enh != blob else "false",
+        }
+        assert fused_report(doc_id, kind, arr, blob) == expected
