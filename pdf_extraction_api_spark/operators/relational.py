@@ -48,7 +48,30 @@ def spread(df: DataFrame, *key: str) -> DataFrame:
     sort-before-repartition pass over the payload."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= cores:
+        return df  # production shape: plenty of splits, never probe
+    # Few files: byte-range splits overstate parallelism because a
+    # parquet reader cannot split below a row group (a 130 MB file
+    # with 6 row groups yields 126 splits but only 6 carry rows), so
+    # count row groups from the footers — bounded work, only ever for
+    # fewer-files-than-cores inputs.
+    eff = None
+    if files:
+        try:
+            import pyarrow.parquet as pq
+
+            eff = sum(
+                pq.ParquetFile(f.removeprefix("file:")).num_row_groups
+                for f in files)
+        except Exception:
+            eff = None
+    if eff is None:
+        eff = df.rdd.getNumPartitions()
+    if eff >= cores:
         return df
     return df.repartition(cores * SPREAD_MULT, *[F.col(k) for k in key])
 
@@ -1072,6 +1095,11 @@ def q5_local_supplier(spark, sf):
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("n_nationkey", "n_name")
     )
+    # NOT spread (r8 A/B): every dimension broadcasts, so lineitem is
+    # the probe side of one 4-deep BHJ stage with row-group-capped
+    # parallelism (6 tasks at sf1.0) — but repartitioning the 6M-row
+    # probe side costs more than the extra cores recover (1.82s vs
+    # ~1.55s); the cheap-probe work doesn't amortize a payload shuffle
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
