@@ -406,7 +406,15 @@ def dd_audio_dup(spark, sf):
         StructField("psum", LongType()),
         StructField("pmom", LongType()),
     ])
-    fr = wavs.mapInPandas(run, schema=schema)
+    # persist the one-row-per-clip fingerprint relation (strictly
+    # smaller than the blobs): it feeds the groups agg AND the join
+    # back, and without the persist each re-ran the WAV decode 2x per
+    # run (r8, round-7 verdict defect #2; [dd_substr_dup] discipline,
+    # linted by test_video_audio_dup_decode_once)
+    from pyspark import StorageLevel
+
+    fr = (wavs.mapInPandas(run, schema=schema)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sig = ["n_samples", "psum", "pmom"]
     groups = fr.groupBy(*sig).agg(
         F.count_distinct("doc_id").alias("n_twins"))

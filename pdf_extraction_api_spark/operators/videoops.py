@@ -395,7 +395,16 @@ def dd_video_frame_dup(spark, sf):
                     })
             yield pd.DataFrame(rows)
 
-    fr = clips.mapInPandas(run, schema=_FRAMESIG_SCHEMA)
+    # persist the fingerprint relation (a few ints per sampled frame):
+    # it feeds three consumers (dup agg, per-doc agg, dup_per join) and
+    # without the persist each re-ran the AVI-decode fan-out — the
+    # dominant cost — 3x per run (r8, the round-7 verdict's defect #1;
+    # the [dd_substr_dup] persist discipline, InMemoryTableScan-linted
+    # by test_video_audio_dup_decode_once)
+    from pyspark import StorageLevel
+
+    fr = (clips.mapInPandas(run, schema=_FRAMESIG_SCHEMA)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sig = ["w", "h", "psum", "pmom"]
     dup = (fr.groupBy(*sig)
            .agg(F.count_distinct("doc_id").alias("nd"))

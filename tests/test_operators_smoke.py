@@ -462,3 +462,22 @@ def test_round7_ops_two_parallelism_determinism(spark, registry):
             assert got["2"] == got["32"] and got["2"], name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_video_audio_dup_decode_once(spark, registry):
+    """r8 (round-7 verdict defects #1/#2): the multimodal dup censuses
+    must run their decode fan-out ONCE. The fingerprint relation is
+    persisted, so the plan shows exactly one InMemoryTableScan per
+    consumer (video: dup agg + per-doc agg + dup_per join = 3;
+    audio: groups agg + join back = 2) and every MapInPandas
+    occurrence in the plan string is the cached plan reprinted under
+    its scans (2 per scan: payload synth + fingerprint pass) — a live
+    decode subtree outside the cache would push the count past
+    2 x scans."""
+    queries, _ = registry
+    for name, n_consumers in (("dd_video_frame_dup", 3),
+                              ("dd_audio_dup", 2)):
+        p = (queries[name](spark, SF)
+             ._jdf.queryExecution().executedPlan().toString())
+        assert p.count("InMemoryTableScan") == n_consumers, (name, p)
+        assert p.count("MapInPandas") <= 2 * n_consumers, (name, p)
