@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .relational import T
+from .relational import T, spread
 from .textops import (
     _shingles,
     _SHINGLES_SQL,
@@ -137,7 +137,7 @@ def tx_top_ngram_frac(spark, sf):
     per-doc window over the doc's own gram counts (bounded by doc
     length — never a corpus-wide sort) → broadcast-scale join back to
     per-doc totals. Docs with < 2 tokens report ('', 0, 0.0)."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toks = ws_tokens()
     toked = d.select("doc_id", toks.alias("toks"))
     totals = toked.select(
@@ -410,7 +410,7 @@ def tx_ft_score(spark, sf):
     pushes down column pruning to (doc_id, text), and a trained
     weight table would broadcast-join on the bucket id without
     changing the shape."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toks = ws_tokens()
     w = lambda t: (F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
                    .cast("long") - 32768)
@@ -474,7 +474,7 @@ def tx_segment_scrub(spark, sf):
     over payloads. Two payload-moving shuffles, the minimum for a
     rewriter whose OUTPUT is the text (same argument as
     tx_pack_payloads)."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toks = ws_tokens()
     toked = d.select("doc_id", toks.alias("toks"),
                      F.size(toks).alias("n"))
@@ -599,7 +599,7 @@ def tx_bpe_merges(spark, sf):
     more hash agg on the pair. The final rank window is unpartitioned
     but runs over the pair-count table, which is bounded by
     |alphabet|² — a few thousand rows regardless of corpus size."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     words = (
         d.select(F.explode(ws_tokens()).alias("w"))
         .groupBy("w").agg(F.count("*").alias("freq"))
@@ -1330,7 +1330,7 @@ def tx_dsir_weight(spark, sf):
     -> per-doc sum). No vocabulary-sized state anywhere — the model
     IS the 64-row table, same as DSIR's hashed n-gram design at
     production scale."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     tb = (d.select("doc_id", "lang",
                    F.explode(ws_tokens()).alias("tok"))
           .select("doc_id", "lang",
@@ -1464,7 +1464,7 @@ def dd_substr_dup(spark, sf):
     + explode three times (round-6 verdict #1)."""
     from pyspark import StorageLevel
 
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toked = (d.select("doc_id", ws_tokens().alias("toks"))
              .filter(F.size("toks") >= SUBSTR_W))
     wins = F.transform(
@@ -1540,7 +1540,7 @@ def tx_substr_scrub(spark, sf):
     map-side filter-by-index. Exactly one payload-carrying shuffle
     (the rebuild join), the minimum for a rewriter whose output is
     the text."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toked = (d.select("doc_id", ws_tokens().alias("toks"))
              .filter(F.size("toks") >= SUBSTR_W))
     wins = F.transform(
@@ -1808,7 +1808,7 @@ def tx_langid_trigram(spark, sf):
     a BROADCAST join of the tiny (langs x M) profile against per-doc
     distinct trigrams; the per-doc argmax is one row_number window
     on doc_id; the matrix is a final |langs|^2-row agg."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     # len<3 guard: Spark sequence(1, 0) DESCENDS ([1,0]) instead of
     # being empty like DuckDB range(1,1) — short docs must yield no
     # trigrams on both engines
@@ -1894,7 +1894,7 @@ def tx_collocations(spark, sf):
     map-side); the bigram count is one map-side-combinable hash agg;
     unigram marginals broadcast onto the n_ab >= COLL_MIN survivors
     only; final top-k is TakeOrderedAndProject."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toked = (d.select(ws_tokens().alias("toks"))
              .filter(F.size("toks") >= 2))
     bigrams = F.transform(
@@ -1974,7 +1974,7 @@ def tx_zipf_fit(spark, sf):
     Scale shape: one token-count shuffle (any tokenizing op's cost),
     TakeOrderedAndProject for the head, then a single-row fold over
     ZIPF_TOPN rows — the regression state is four integers."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     cnt = (d.select(F.explode(ws_tokens()).alias("tok"))
            .groupBy("tok").agg(F.count("*").alias("c")))
     w = Window.orderBy(F.desc("c"), F.asc("tok"))
@@ -2048,7 +2048,7 @@ def tx_entropy(spark, sf):
     per-doc fold; both aggs are map-side combinable and no
     vocabulary-sized state exists outside the (doc, token) stream
     any tokenizing op already carries."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     tc = (d.select("doc_id", F.explode(ws_tokens()).alias("tok"))
           .groupBy("doc_id", "tok").agg(F.count("*").alias("c")))
     w_nano = F.round(F.log2("c") * F.lit(1e9), 0).cast("long")

@@ -124,11 +124,38 @@ def _shingle_arrays(spark, sf) -> DataFrame:
 
 def _shingles(spark, sf) -> DataFrame:
     """(doc_id, shingle) — distinct 3-token shingles, the exploded view
-    of [_shingle_arrays] for consumers that join on the shingle value
-    (dd_ngram_jaccard, dd_containment). Still zero shuffles before the
-    explode."""
-    return _shingle_arrays(spark, sf).select(
-        "doc_id", F.explode("shs").alias("shingle"))
+    for consumers that join on the shingle value (dd_containment,
+    tx_ngram_novelty). Still zero shuffles before the explode.
+
+    DELIBERATELY rebuilds the shingle expression INLINE in the
+    explode instead of `_shingle_arrays(...).select(explode("shs"))`
+    (r8, measured 10.2s vs 0.4s at sf0.1): when the generator is a
+    bare attribute, InferFiltersFromGenerate adds `size(shs) > 0 AND
+    isnotnull(shs)` and predicate pushdown then substitutes the WHOLE
+    shingle-construction expression into that filter — including the
+    `toks` alias, which re-runs filter(split(text)) once per shingle
+    position inside the element_at lambdas. With the expensive
+    generator inline, the infer rule declines and no such filter
+    exists. Consumers that explode a PERSISTED array relation
+    (dd_ngram_jaccard) are safe — the inferred filter then runs over
+    cached arrays."""
+    d = spread(T(spark, sf, "documents"), "doc_id")
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= SHINGLE)
+    toks = F.col("toks")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return toked.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 _SHINGLES_SQL = f"""
@@ -733,7 +760,7 @@ FROM (
 
 def tx_tokens(spark, sf):
     """Token counting: total + distinct per doc."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     return d.select(
         "doc_id",
@@ -766,7 +793,7 @@ def tx_tokens_bpe(spark, sf):
     next to tx_tokens' whitespace count. Whitespace-run matches are
     excluded from the count (they merge into following tokens in real
     BPE)."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
     n_all = F.size(toks)
     n_ws = F.size(F.filter(toks, lambda t: t.rlike(f"^{_WS_CLS}+$")))
@@ -797,8 +824,13 @@ def tx_fingerprint(spark, sf):
     evaluates one ≤4096-window block at a time, so peak per-row memory
     is one block regardless of document size; min-of-mins equals the
     global min exactly. tests/test_operators_smoke.py asserts the plan
-    has no Exchange."""
-    d = T(spark, sf, "documents").filter(F.length("text") >= 8)
+    has no shuffle beyond the optional input `spread` (r8: the
+    md5-per-window map is the heaviest per-char compute in textops —
+    2.0s -> 0.3s at sf0.1 on the single-row-group input; at
+    production scan widths spread no-ops and the plan is again
+    zero-Exchange)."""
+    d = spread(T(spark, sf, "documents"), "doc_id").filter(
+        F.length("text") >= 8)
     b = _FP_BLOCK
     fp = F.expr(
         f"array_min(transform("
@@ -821,7 +853,7 @@ GROUP BY doc_id
 def tx_pii_scrub(spark, sf):
     """PII scrubbing: regex redaction of emails + long digit runs
     (standard pre-training hygiene; JVM regexp_replace, no Python)."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     dirty = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -926,7 +958,7 @@ def tx_gopher_quality(spark, sf):
     array — zero shuffles, pushes down as a plain projection+filter at
     100 TB (the standard pre-training corpus gate next to tx_quality's
     weighted score)."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toked = d.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
@@ -1005,7 +1037,7 @@ def tx_trigram_ppl(spark, sf):
     smoothing branch needed."""
     # (_shingles is not reusable here: it is DISTINCT per doc, and LM
     # training/scoring needs occurrence counts)
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toked = d.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
@@ -1178,37 +1210,46 @@ def tx_decontam(spark, sf):
     is rare by construction). At 100 TB nothing but the hits ever
     leaves the scan stage. Hashes (md5) stand in for the 64-bit
     fingerprints a production run would broadcast instead of strings."""
-    d = T(spark, sf, "documents")
+    d = spread(T(spark, sf, "documents"), "doc_id")
     toked = d.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
     ).filter(F.size("toks") >= DECONTAM_N)
+
     # The CASE guard looks redundant next to the filter above, but it
     # is load-bearing: InferFiltersFromGenerate derives a
-    # size(gs) > 0 predicate from the explode below and pushes it into
-    # the scan's data filters, where it evaluates on rows the size
-    # filter would have dropped — and sequence(0, size-N) on a short
-    # doc descends to -1, making slice throw on start=0. CASE WHEN is
-    # lazy, so the guarded expression is total.
-    grams = toked.select(
-        "doc_id",
-        F.size("toks").alias("n_toks"),
-        F.when(
+    # size(gs) > 0 predicate from an explode over `gs` and pushes it
+    # into the scan's data filters, where it evaluates on rows the
+    # size filter would have dropped — and sequence(0, size-N) on a
+    # short doc descends to -1, making slice throw on start=0. CASE
+    # WHEN is lazy, so the guarded expression is total.
+    #
+    # r8: the generator is built INLINE at each explode site (not
+    # `select(gs).select(explode("gs"))`) — with a bare-attribute
+    # generator that same inferred size() predicate gets the WHOLE
+    # gram expression substituted into it with `toks` expanded, so
+    # filter(split(text)) re-ran once per gram slice inside the
+    # pushed-down filter: 7.1s -> 0.6s at sf0.1 (the [_shingles]
+    # trap, one operator over). With the expensive generator inline
+    # the infer rule declines.
+    def gs_expr():
+        return F.when(
             F.size("toks") >= DECONTAM_N,
             F.transform(
                 F.sequence(F.lit(0), F.size("toks") - DECONTAM_N),
                 lambda i: F.md5(F.array_join(
                     F.slice("toks", i + 1, DECONTAM_N), " ")),
             ),
-        ).otherwise(F.array().cast("array<string>")).alias("gs"),
-    )
+        ).otherwise(F.array().cast("array<string>"))
+
     bench = (
-        grams.filter(F.col("doc_id") % DECONTAM_MOD == 0)
-        .select(F.explode("gs").alias("g")).distinct()
+        toked.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+        .select(F.explode(gs_expr()).alias("g")).distinct()
     )
     hits = (
-        grams.filter(F.col("doc_id") % DECONTAM_MOD != 0)
-        .select("doc_id", "n_toks", F.explode("gs").alias("g"))
+        toked.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+        .select("doc_id", F.size("toks").alias("n_toks"),
+                F.explode(gs_expr()).alias("g"))
         .join(F.broadcast(bench), "g")
     )
     n_ngrams = (F.max("n_toks") - DECONTAM_N + 1).cast("long")
