@@ -200,14 +200,28 @@ def _band_min(b: int):
         lambda s: F.md5(F.concat_ws(":", F.lit(str(b)), s))))
 
 
-def _band_keys(sha: DataFrame) -> DataFrame:
-    """(doc_id, key) — one LSH band key per (doc, band) over a
-    (doc_id, shs) shingle-ARRAY relation: key = band|min(md5(band:
-    shingle)). All band minima are pure map-side projections (r8 —
-    previously one explode + SortAggregate + Exchange per consumer);
-    the ×bands row blowup happens only after the per-doc reduction."""
-    sigs_wide = sha.select(
-        "doc_id", *[_band_min(b).alias(f"s{b}") for b in range(N_BANDS)]
+def _band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, key) — one LSH band key per (doc, band) over an
+    EXPLODED (doc_id, shingle) relation: key = band|min(md5(band:
+    shingle)). r8 shape, A/B'd at sf1.0: a codegen'd md5 projection
+    over the exploded rows feeding a min_by ObjectHashAggregate
+    (min_by(m, m) ≡ min(m), but with a mutable object buffer it stays
+    a HASH aggregate — plain min over strings plans as SortAggregate
+    and sorted the whole corpus-shingle relation) measured 1.6s vs
+    3.1s for the map-side HOF array_min variant (interpreted lambda
+    md5) and vs ~9.5s for the r7 explode + SortAggregate + Exchange
+    form. Input must explode with the generator INLINE (see
+    [_shingles]) or from a persisted array relation — never
+    alias-then-explode. Map-side partial min_by keeps the exchange at
+    one row per doc."""
+    proj = sh.select(
+        "doc_id",
+        *[F.md5(F.concat_ws(":", F.lit(str(b)), "shingle")).alias(f"m{b}")
+          for b in range(N_BANDS)],
+    )
+    sigs_wide = proj.groupBy("doc_id").agg(
+        *[F.min_by(f"m{b}", f"m{b}").alias(f"s{b}")
+          for b in range(N_BANDS)]
     )
     return sigs_wide.select(
         "doc_id",
@@ -304,7 +318,7 @@ def dd_minhash_salted(spark, sf):
     oracle's sf no bucket exceeds the cap, so results equal
     dd_minhash_lsh there; the mega-bucket recall property is
     unit-tested with a 1k near-identical corpus."""
-    sigs = _band_keys(_shingle_arrays(spark, sf))
+    sigs = _band_keys(_shingles(spark, sf))
     return (salted_bucket_pairs(sigs, "key", "doc_id", LSH_BUCKET_CAP)
             .select("doc_a", "doc_b").distinct())
 
@@ -344,11 +358,12 @@ def dd_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs: docs sharing any band signature are
     candidates. Buckets larger than LSH_BUCKET_CAP are dropped (a viral
     boilerplate signature would otherwise emit |bucket|² pairs); see
-    capped_bucket_pairs for the plan shape. r8: band signatures are
-    map-side array minima over [_shingle_arrays] — the corpus-shingle
-    explode, its SortAggregate and the pre-bucket Exchange are gone,
-    and the documents scan is spread across cores."""
-    sigs = _band_keys(_shingle_arrays(spark, sf))
+    capped_bucket_pairs for the plan shape. r8: band signatures come
+    from the codegen'd md5 + min_by hash-aggregate form ([_band_keys]
+    — no SortAggregate), the bucket pipeline is evaluated once, and
+    the documents scan is spread across cores: 9.5s -> ~2.5s at
+    sf1.0."""
+    sigs = _band_keys(_shingles(spark, sf))
     return (capped_bucket_pairs(sigs, "key", "doc_id", LSH_BUCKET_CAP)
             .select("doc_a", "doc_b").distinct())
 
@@ -562,8 +577,10 @@ def dd_ngram_jaccard(spark, sf):
 
     sha = _shingle_arrays(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
-        capped_bucket_pairs(_band_keys(sha), "key", "doc_id",
-                            LSH_BUCKET_CAP)
+        capped_bucket_pairs(
+            _band_keys(sha.select(
+                "doc_id", F.explode("shs").alias("shingle"))),
+            "key", "doc_id", LSH_BUCKET_CAP)
         .select("doc_a", "doc_b").distinct())
     sizes = sha.select("doc_id", F.size("shs").alias("n"))
     a = sha.select(F.col("doc_id").alias("doc_a"),
@@ -1435,7 +1452,7 @@ def dd_incremental(spark, sf):
     d = T(spark, sf, "documents")
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     hist_hashes = d.filter(~is_new).select(F.md5("text").alias("h"))
-    hist_sigs = _band_keys(_shingle_arrays(spark, sf)).filter(
+    hist_sigs = _band_keys(_shingles(spark, sf)).filter(
         F.col("doc_id") % NEW_BATCH_MOD != 0)
     return incremental_verdicts(d.filter(is_new), hist_hashes, hist_sigs)
 
@@ -1470,9 +1487,9 @@ def incremental_verdicts(new_docs: DataFrame,
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
             F.element_at(toks, i + 3)),
     )
-    new_sha = toked.select(
-        "doc_id", F.array_distinct(sh).alias("shs"))
-    new_s = _band_keys(new_sha)
+    new_sh = toked.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    new_s = _band_keys(new_sh)
     near = (
         hist_sigs.select("key").join(F.broadcast(new_s), "key")
         .select("doc_id").distinct()
