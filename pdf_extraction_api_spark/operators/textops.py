@@ -203,25 +203,26 @@ def _band_min(b: int):
 def _band_keys(sh: DataFrame) -> DataFrame:
     """(doc_id, key) — one LSH band key per (doc, band) over an
     EXPLODED (doc_id, shingle) relation: key = band|min(md5(band:
-    shingle)). r8 shape, A/B'd at sf1.0: a codegen'd md5 projection
-    over the exploded rows feeding a min_by ObjectHashAggregate
-    (min_by(m, m) ≡ min(m), but with a mutable object buffer it stays
-    a HASH aggregate — plain min over strings plans as SortAggregate
-    and sorted the whole corpus-shingle relation) measured 1.6s vs
-    3.1s for the map-side HOF array_min variant (interpreted lambda
-    md5) and vs ~9.5s for the r7 explode + SortAggregate + Exchange
-    form. Input must explode with the generator INLINE (see
-    [_shingles]) or from a persisted array relation — never
-    alias-then-explode. Map-side partial min_by keeps the exchange at
-    one row per doc."""
+    shingle)). r8 shape, A/B'd at sf1.0 (1.2s vs 3.1s for the
+    map-side HOF array_min variant, vs ~9.5s for the r7 form): the
+    four md5s are a codegen'd PROJECTION over the exploded rows
+    (interpreted per-element lambda md5 inside transform() was the
+    HOF variant's cost), and the min-over-string agg — still a
+    SortAggregate (string minima have no mutable buffer; min_by was
+    A/B'd too and is the same plan class, slightly slower) — now
+    sorts only WITHIN partitions already hash-spread by doc_id, with
+    no Exchange (partial+final collapse onto the spread
+    partitioning) and runs ONCE (capped_bucket_pairs' shared
+    exchange) instead of twice over an unspread single task. Input
+    must explode with the generator INLINE (see [_shingles]) or from
+    a persisted array relation — never alias-then-explode."""
     proj = sh.select(
         "doc_id",
         *[F.md5(F.concat_ws(":", F.lit(str(b)), "shingle")).alias(f"m{b}")
           for b in range(N_BANDS)],
     )
     sigs_wide = proj.groupBy("doc_id").agg(
-        *[F.min_by(f"m{b}", f"m{b}").alias(f"s{b}")
-          for b in range(N_BANDS)]
+        *[F.min(f"m{b}").alias(f"s{b}") for b in range(N_BANDS)]
     )
     return sigs_wide.select(
         "doc_id",

@@ -156,8 +156,11 @@ def test_substr_dup_single_tokenize_pass(spark, registry):
     array, never from the exploded form). Every 'Generate explode'
     occurrence in the plan string is the cached plan reprinted under
     its scans, so live copies would push the count past the scan
-    count."""
+    count. clearCache first: a MATERIALIZED InMemoryTableScan reprints
+    the cached plan (one explode per scan), so the count is only
+    deterministic from a cold cache."""
     queries, _ = registry
+    spark.catalog.clearCache()
     p = (queries["dd_substr_dup"](spark, SF)
          ._jdf.queryExecution().executedPlan().toString())
     assert p.count("InMemoryTableScan") == 2, p
@@ -477,8 +480,10 @@ def test_video_audio_dup_decode_once(spark, registry):
     occurrence in the plan string is the cached plan reprinted under
     its scans (2 per scan: payload synth + fingerprint pass) — a live
     decode subtree outside the cache would push the count past
-    2 x scans."""
+    2 x scans. clearCache first — the reprint accounting assumes a
+    cold cache (see test_substr_dup_single_tokenize_pass)."""
     queries, _ = registry
+    spark.catalog.clearCache()
     for name, n_consumers in (("dd_video_frame_dup", 3),
                               ("dd_audio_dup", 2)):
         p = (queries[name](spark, SF)
