@@ -490,3 +490,29 @@ def test_video_audio_dup_decode_once(spark, registry):
              ._jdf.queryExecution().executedPlan().toString())
         assert p.count("InMemoryTableScan") == n_consumers, (name, p)
         assert p.count("MapInPandas") <= 2 * n_consumers, (name, p)
+
+
+def test_r8_optimized_ops_parallelism_determinism(spark, registry):
+    """r8 sweep: the queries whose plans were restructured this round
+    (spread repartitions, shared bucket Exchange, inline-generator
+    explodes, min-agg band signatures, fused image pass, persisted
+    fingerprints) must produce identical rows at 2 and 32 shuffle
+    partitions — partition-count independence is what lets the driver
+    re-verify them under its own session settings."""
+    queries, _ = registry
+    names = ("dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
+             "tx_quality", "dd_verdict", "tx_decontam",
+             "tx_ngram_novelty", "tx_langid_trigram", "tx_fingerprint",
+             "dd_embed_lsh", "ex4_flagship_rollup", "dd_audio_dup")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.catalog.clearCache()
+            results[parts] = {
+                n: sorted(map(tuple, queries[n](spark, SF).collect()))
+                for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results["2"] == results["32"]
