@@ -264,8 +264,17 @@ def capped_bucket_pairs(df: DataFrame, key: str, id_col: str,
     keyed = df.select(F.col(key).alias("key"),
                       F.col(id_col).alias("_id")).repartition(
         n_parts, F.col("key"))
+    # count(_id), not count(*): _id is never null so the result is
+    # identical, but count(*) lets column pruning drop _id below the
+    # count side's exchange, making the two exchange subtrees
+    # canonically DIFFERENT — AQE's stage cache then re-ran the whole
+    # upstream signature pipeline for each consumer (verified in the
+    # executed final plan: two separate ShuffleQueryStages). With _id
+    # required on both sides the exchanges are identical and the
+    # second consumer is a ReusedExchange
+    # (plans/r08/dd_minhash_lsh_after_executed.txt).
     keep = (
-        keyed.groupBy("key").count()
+        keyed.groupBy("key").agg(F.count("_id").alias("count"))
         .filter((F.col("count") >= 2) & (F.col("count") <= cap))
         .select("key")
     )
